@@ -1,0 +1,54 @@
+"""dataverifyr_spark — a from-scratch, PySpark-native schema + constraint
+validation engine with the query semantics of DavZim/dataverifyr.
+
+Rules compile to Catalyst Column predicates evaluated in ONE fused
+aggregation scan; violations extract in one tagged scan; reference rules run
+as distinct-ref joins; schema checks are driver-only metadata work.  See
+SURVEY.md for the full reference-parity map.
+"""
+
+from .check import CheckDataError, check_data, check_data_by
+from .describe import describe
+from .expr import ExprError, compile_expr, get_symbols, register_function
+from .filters import fail_predicate, filter_fails
+from .io import read_rules, write_rules
+from .rules import (
+    DataColumn,
+    ReferenceRule,
+    Rule,
+    Ruleset,
+    bind_rules,
+    data_column,
+    reference_rule,
+    rule,
+    rule_meta,
+    ruleset,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "rule",
+    "ruleset",
+    "reference_rule",
+    "data_column",
+    "rule_meta",
+    "bind_rules",
+    "Rule",
+    "Ruleset",
+    "ReferenceRule",
+    "DataColumn",
+    "check_data",
+    "check_data_by",
+    "CheckDataError",
+    "filter_fails",
+    "fail_predicate",
+    "describe",
+    "read_rules",
+    "write_rules",
+    "compile_expr",
+    "get_symbols",
+    "register_function",
+    "ExprError",
+    "__version__",
+]

@@ -1,0 +1,509 @@
+"""``check_data`` — the validation orchestrator (data plane).
+
+Reference contract: R/check_data.R:52-171 (orchestration), :256-333 (per-rule
+evaluation), :277-287 (negate → allow_na rewrite order), :301-315 (error
+capture), :325 (fail = tests - pass); R/data_column.R:204-275 (schema rows),
+:332-379 (reference rules).
+
+Spark-first design — deliberately NOT the reference's one-scan-per-rule loop:
+
+* All expression rules are fused into ONE ``df.agg`` pass: ``count(*)`` plus
+  one conditional sum per rule (plus coercion-watch sums for warn synthesis).
+  N rules ⇒ 1 job, 1 scan — the reference's own batched-describe path
+  (R/describe.R:329-422) pushed to its logical conclusion.  At 100 TB this is
+  the difference between N full-table scans and one.
+* Before launching anything, each rule is resolved against the schema with a
+  zero-row ``df.select`` — analysis errors (missing column, bad call) become
+  error rows (pass=0, fail=tests) without aborting the job, matching
+  R/check_data.R:301-315.
+* Only the union of referenced columns is selected before the agg, so the
+  Parquet/Iceberg scan prunes columns even if Catalyst's own pruning is ever
+  defeated by an opaque UDF rule.
+* Reference rules evaluate as distinct-ref LEFT joins (AQE picks
+  broadcast-hash when the distinct ref side is small; see ``_eval_reference``)
+  — never a collected ``isin`` list, which would cap ref size at driver memory.
+* ``by=[cols]`` returns a distributed per-group summary (one row per
+  group × rule) via the same fused aggregation under ``groupBy`` — the
+  north_rule's "per-partition pass/fail rows" — without collecting.
+"""
+
+from __future__ import annotations
+
+import re
+import time as _time
+from dataclasses import dataclass
+from functools import reduce
+from operator import or_
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .expr import CompileResult, ExprError, compile_expr
+from .rules import DataColumn, ReferenceRule, Rule, Ruleset, ruleset, validate_data_columns
+
+__all__ = ["check_data", "CheckDataError", "RESULT_SCHEMA", "compile_rule_predicate"]
+
+# Result-row contract: R/check_data.R:103-117 / :317-329
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("check_type", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("expr", T.StringType(), False),
+        T.StructField("allow_na", T.BooleanType(), False),
+        T.StructField("negate", T.BooleanType(), False),
+        T.StructField("tests", T.LongType(), False),
+        T.StructField("pass", T.LongType(), False),
+        T.StructField("fail", T.LongType(), False),
+        T.StructField("warn", T.StringType(), False),
+        T.StructField("error", T.StringType(), False),
+        T.StructField("time", T.DoubleType(), False),
+    ]
+)
+
+_COERCION_WARN = "NAs introduced by coercion"
+
+
+class CheckDataError(RuntimeError):
+    """Raised by the stop_on_* gates (R/check_data.R:146-168)."""
+
+
+@dataclass
+class _Compiled:
+    rule: Rule
+    pred: Column | None
+    watchers: list[Column]
+    error: str
+
+
+def compile_rule_predicate(r: Rule) -> CompileResult:
+    """Compile a rule to its guarded predicate Column.
+
+    Rewrite order is load-bearing (R/check_data.R:277-287): negate wraps the
+    raw expression FIRST, the allow_na is-null guard ORs on top, one guard per
+    symbol referenced by the original expression.
+    """
+    res = compile_expr(r.expr)
+    pred = res.column
+    if r.negate:
+        pred = ~pred
+    if r.allow_na:
+        for s in res.symbols:
+            pred = pred | F.col(s).isNull()
+    return CompileResult(column=pred, symbols=res.symbols, coercion_watchers=res.coercion_watchers)
+
+
+def _compile_all(df: DataFrame, rules: list[Rule]) -> list[_Compiled]:
+    out: list[_Compiled] = []
+    for r in rules:
+        try:
+            res = compile_rule_predicate(r)
+            # force analysis now so missing columns become error rows,
+            # not a failed fused job (R/check_data.R:301-315)
+            df.select(res.column.alias("__probe"))
+            out.append(_Compiled(r, res.column, res.coercion_watchers, ""))
+        except Exception as exc:  # AnalysisException, ExprError, ...
+            out.append(_Compiled(r, None, [], _strip_error(exc)))
+    return out
+
+
+def _strip_error(exc: Exception) -> str:
+    msg = str(exc).strip().replace("\n", " ")
+    # Spark analysis errors append the whole logical plan after "SQLSTATE: xxxxx;"
+    # — keep the human-readable part only (parity with the reference's
+    # ANSI-stripped message, R/check_data.R:370-380)
+    m = re.search(r"SQLSTATE: \w+", msg)
+    if m:
+        msg = msg[: m.end()]
+    return msg[:500]
+
+
+def _result_row(
+    r: Rule,
+    tests: int,
+    passed: int,
+    warn: str = "",
+    error: str = "",
+    elapsed: float = 0.0,
+) -> dict[str, Any]:
+    return {
+        "check_type": r.check_type,
+        "name": r.name,
+        "expr": r.expr,
+        "allow_na": r.allow_na,
+        "negate": r.negate,
+        "tests": int(tests),
+        "pass": int(passed),
+        "fail": int(tests) - int(passed),
+        "warn": warn,
+        "error": error,
+        "time": float(elapsed),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Schema (data_column) validation — pure driver metadata, zero data scan
+# (R/data_column.R:204-275)
+# ---------------------------------------------------------------------------
+
+_SPARK_FAMILY = {
+    "int": (T.IntegerType, T.LongType, T.ShortType, T.ByteType),
+    "double": (
+        T.DoubleType,
+        T.FloatType,
+        T.DecimalType,
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+        T.ByteType,
+    ),  # R is.numeric: ints pass as numeric (R/data_column.R:320)
+    "string": (T.StringType,),
+    "boolean": (T.BooleanType,),
+}
+
+
+def _schema_rows(
+    df: DataFrame,
+    decls: list[DataColumn],
+    rules: list[Rule],
+    extra_columns: str,
+) -> tuple[list[dict[str, Any]], list[str]]:
+    validate_data_columns(decls)
+    rows: list[dict[str, Any]] = []
+    warnings: list[str] = []
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    declared = {c.col for c in decls}
+
+    # unknown-symbol hard stop (R/data_column.R:228-236)
+    for r in rules:
+        try:
+            syms = r.symbols()
+        except ExprError:
+            continue
+        unknown = [s for s in syms if s not in declared]
+        if unknown:
+            raise ValueError(
+                f"rule '{r.name}' references undeclared column(s): {', '.join(unknown)}"
+            )
+
+    # extra-columns policy (R/data_column.R:216-226)
+    extras = [c for c in actual if c not in declared]
+    if extras and extra_columns == "warn":
+        warnings.append(f"extra columns found: {', '.join(sorted(extras))}")
+    elif extras and extra_columns == "fail":
+        for c in sorted(extras):
+            rows.append(
+                {
+                    "check_type": "schema",
+                    "name": f"Extra column: {c}",
+                    "expr": f"!column_exists('{c}')",
+                    "allow_na": False,
+                    "negate": False,
+                    "tests": 1,
+                    "pass": 0,
+                    "fail": 1,
+                    "warn": "",
+                    "error": f"column '{c}' is not declared",
+                    "time": 0.0,
+                }
+            )
+
+    for c in decls:
+        exists = c.col in actual
+        ok = exists or c.optional
+        rows.append(
+            {
+                "check_type": "schema",
+                "name": f"Column exists: {c.col}",
+                "expr": f"column_exists('{c.col}')",
+                "allow_na": False,
+                "negate": False,
+                "tests": 1,
+                "pass": int(ok),
+                "fail": int(not ok),
+                "warn": "",
+                "error": "" if ok else f"required column '{c.col}' not found",
+                "time": 0.0,
+            }
+        )
+        family = c.spark_type_family()
+        if exists and c.type is not None:
+            # unknown declared type ⇒ always passes (R/data_column.R:328)
+            ok_t = True if family is None else isinstance(actual[c.col], _SPARK_FAMILY[family])
+            rows.append(
+                {
+                    "check_type": "schema",
+                    "name": f"Column type: {c.col}",
+                    "expr": f"column_type('{c.col}') == '{c.type}'",
+                    "allow_na": False,
+                    "negate": False,
+                    "tests": 1,
+                    "pass": int(ok_t),
+                    "fail": int(not ok_t),
+                    "warn": "",
+                    "error": ""
+                    if ok_t
+                    else f"column '{c.col}' has type '{actual[c.col].simpleString()}', declared '{c.type}'",
+                    "time": 0.0,
+                }
+            )
+    return rows, warnings
+
+
+# ---------------------------------------------------------------------------
+# Reference (FK membership) rules — distinct-ref join, AQE-broadcastable
+# (R/data_column.R:332-379)
+# ---------------------------------------------------------------------------
+
+
+def _reference_ok_column(
+    df: DataFrame, r: ReferenceRule, datasets: Mapping[str, DataFrame]
+) -> tuple[DataFrame, Column]:
+    """Return (df joined with hit marker, ok Column) for one reference rule.
+
+    R ``%in%`` never yields NA: NULL local ⇒ FALSE (R/data_column.R:354), so
+    ``hit IS NOT NULL`` reproduces it exactly.  negate inverts AFTER the
+    membership test; allow_na ORs an is-null rescue on top — same order as
+    expression rules.
+    """
+    ref = datasets[r.ref_dataset]
+    if r.ref_col not in ref.columns:
+        raise ValueError(f"reference column '{r.ref_col}' not in dataset '{r.ref_dataset}'")
+    ref_vals = ref.select(F.col(r.ref_col).alias("__ref_val")).distinct()
+    joined = df.join(ref_vals, df[r.local_col] == F.col("__ref_val"), "left")
+    ok = F.col("__ref_val").isNotNull()
+    if r.negate:
+        ok = ~ok
+    if r.allow_na:
+        ok = ok | F.col(r.local_col).isNull()
+    return joined, ok
+
+
+def _eval_reference(
+    df: DataFrame, r: ReferenceRule, datasets: Mapping[str, DataFrame], tests: int
+) -> dict[str, Any]:
+    t0 = _time.perf_counter()
+    if r.ref_dataset not in datasets:
+        return _result_row(
+            r,
+            tests,
+            0,
+            error=f"reference dataset '{r.ref_dataset}' not provided",
+            elapsed=_time.perf_counter() - t0,
+        )
+    try:
+        joined, ok = _reference_ok_column(df, r, datasets)
+        passed = joined.agg(
+            F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("p")
+        ).collect()[0]["p"]
+        return _result_row(r, tests, int(passed or 0), elapsed=_time.perf_counter() - t0)
+    except ValueError as exc:
+        return _result_row(r, tests, 0, error=_strip_error(exc), elapsed=_time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# check_data
+# ---------------------------------------------------------------------------
+
+
+def _resolve_datasets(
+    x: DataFrame | Mapping[str, DataFrame], data_name: str | None
+) -> tuple[DataFrame, dict[str, DataFrame], str]:
+    if isinstance(x, DataFrame):
+        return x, {}, data_name or "df"
+    if isinstance(x, Mapping):
+        if not x:
+            raise ValueError("empty dataset mapping")
+        datasets = dict(x)
+        primary_name = data_name or next(iter(datasets))
+        if primary_name not in datasets:
+            raise ValueError(f"data_name '{primary_name}' not in dataset mapping")
+        return datasets[primary_name], datasets, primary_name
+    raise TypeError(f"x must be a DataFrame or mapping of DataFrames, got {type(x).__name__}")
+
+
+def check_data(
+    x: DataFrame | Mapping[str, DataFrame],
+    rules: Ruleset | Rule | str,
+    *,
+    stop_on_fail: bool = False,
+    stop_on_warn: bool = False,
+    stop_on_error: bool = False,
+    stop_on_schema_fail: bool = False,
+    extra_columns: str = "ignore",
+    data_name: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Run a ruleset against a dataset; return the 11-column summary DataFrame.
+
+    Row-order contract (R/check_data.R:127-144): schema rows first, then
+    row_rules in ruleset order, then reference rules.
+    """
+    if isinstance(rules, str):
+        from .io import read_rules
+
+        rules = read_rules(rules)
+    if isinstance(rules, Rule):
+        rules = ruleset(rules)
+    if extra_columns not in ("ignore", "warn", "fail"):
+        raise ValueError("extra_columns must be one of ignore/warn/fail")
+
+    df, datasets, primary_name = _resolve_datasets(x, data_name or rules.data_name)
+    spark = spark or df.sparkSession
+
+    schema_rows: list[dict[str, Any]] = []
+    if rules.data_columns:
+        schema_rows, _warns = _schema_rows(df, rules.data_columns, rules.rules, extra_columns)
+
+    expr_rules = [r for r in rules if not isinstance(r, ReferenceRule)]
+    ref_rules = [r for r in rules if isinstance(r, ReferenceRule)]
+
+    compiled = _compile_all(df, expr_rules)
+    good = [c for c in compiled if c.pred is not None]
+
+    # column pruning assist: only scan the union of referenced columns
+    needed: list[str] = []
+    for c in good:
+        for s in c.rule.symbols():
+            if s in df.columns and s not in needed:
+                needed.append(s)
+    scan_df = df.select(*needed) if needed else df
+
+    t0 = _time.perf_counter()
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__tests")]
+    for i, c in enumerate(good):
+        aggs.append(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{i}"))
+        for j, w in enumerate(c.watchers):
+            aggs.append(F.sum(F.when(w, F.lit(1)).otherwise(F.lit(0))).alias(f"__w{i}_{j}"))
+    if good or expr_rules or ref_rules:
+        agg_row = scan_df.agg(*aggs).collect()[0].asDict()
+    else:
+        agg_row = {"__tests": df.count()}
+    tests = int(agg_row["__tests"])
+    scan_elapsed = _time.perf_counter() - t0
+    per_rule_time = scan_elapsed / max(len(good), 1)
+
+    row_results: list[dict[str, Any]] = []
+    gi = 0
+    for c in compiled:
+        if c.pred is None:
+            # error row: pass=0, fail=tests (R/check_data.R:301-315)
+            row_results.append(_result_row(c.rule, tests, 0, error=c.error, elapsed=0.0))
+        else:
+            passed = int(agg_row[f"__p{gi}"] or 0)
+            warn = ""
+            if c.watchers and any(
+                int(agg_row[f"__w{gi}_{j}"] or 0) > 0 for j in range(len(c.watchers))
+            ):
+                warn = _COERCION_WARN
+            row_results.append(
+                _result_row(c.rule, tests, passed, warn=warn, elapsed=per_rule_time)
+            )
+            gi += 1
+
+    ref_results = [_eval_reference(df, r, datasets, tests) for r in ref_rules]
+
+    all_rows = schema_rows + row_results + ref_results
+    result = spark.createDataFrame(
+        [tuple(r[f.name] for f in RESULT_SCHEMA.fields) for r in all_rows], RESULT_SCHEMA
+    )
+
+    _apply_stop_gates(
+        all_rows,
+        primary_name,
+        stop_on_fail=stop_on_fail,
+        stop_on_warn=stop_on_warn,
+        stop_on_error=stop_on_error,
+        stop_on_schema_fail=stop_on_schema_fail,
+    )
+    return result
+
+
+def _apply_stop_gates(
+    rows: list[dict[str, Any]],
+    data_name: str,
+    *,
+    stop_on_fail: bool,
+    stop_on_warn: bool,
+    stop_on_error: bool,
+    stop_on_schema_fail: bool,
+) -> None:
+    # message format per R/check_data.R:159-167
+    rule_rows = [r for r in rows if r["check_type"] in ("row_rule", "reference_rule")]
+    schema_rows = [r for r in rows if r["check_type"] == "schema"]
+    n_fail = sum(1 for r in rule_rows if r["fail"] > 0)
+    n_warn = sum(1 for r in rows if r["warn"])
+    n_error = sum(1 for r in rows if r["error"])
+    n_schema_fail = sum(1 for r in schema_rows if r["fail"] > 0)
+
+    trip = (
+        (stop_on_fail and n_fail > 0)
+        or (stop_on_warn and n_warn > 0)
+        or (stop_on_error and n_error > 0)
+        or (stop_on_schema_fail and n_schema_fail > 0)
+    )
+    if trip:
+        raise CheckDataError(
+            f"In dataset '{data_name}' found {n_fail} rule fails, "
+            f"{n_warn} warnings, {n_error} errors"
+            + (f", {n_schema_fail} schema fails" if n_schema_fail else "")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Distributed per-group summary (north_rule per-partition pass/fail rows)
+# ---------------------------------------------------------------------------
+
+
+def check_data_by(
+    df: DataFrame,
+    rules: Ruleset | Rule,
+    by: list[str] | str,
+) -> DataFrame:
+    """Per-group pass/fail summary — stays distributed (no collect).
+
+    One ``groupBy(by).agg`` computes every rule's conditional sum per group in
+    a single shuffle; results are unpivoted to long form
+    ``by..., name, expr, tests, pass, fail`` via an inline array-of-structs
+    (pure Catalyst — no Python in the row path).  At 10^12 rows this yields
+    one summary row per (partition-key × rule), the north_rule shape.
+    """
+    if isinstance(rules, Rule):
+        rules = ruleset(rules)
+    by_cols = [by] if isinstance(by, str) else list(by)
+
+    compiled = _compile_all(df, [r for r in rules if not isinstance(r, ReferenceRule)])
+    good = [c for c in compiled if c.pred is not None]
+    if not good:
+        raise ValueError("no compilable rules for check_data_by")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__tests")]
+    for i, c in enumerate(good):
+        aggs.append(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{i}"))
+    grouped = df.groupBy(*[F.col(c) for c in by_cols]).agg(*aggs)
+
+    structs = [
+        F.struct(
+            F.lit(c.rule.name).alias("name"),
+            F.lit(c.rule.expr).alias("expr"),
+            F.col("__tests").alias("tests"),
+            F.col(f"__p{i}").alias("pass"),
+            (F.col("__tests") - F.col(f"__p{i}")).alias("fail"),
+        )
+        for i, c in enumerate(good)
+    ]
+    return (
+        grouped.select(*by_cols, F.explode(F.array(*structs)).alias("__r"))
+        .select(*by_cols, "__r.name", "__r.expr", "__r.tests", "__r.pass", "__r.fail")
+    )
+
+
+def combined_fail_predicate(rules: Ruleset) -> Column:
+    """OR of all per-rule failure predicates — one scan finds every violator."""
+    from .filters import fail_predicate
+
+    preds = [fail_predicate(r) for r in rules if not isinstance(r, ReferenceRule)]
+    if not preds:
+        return F.lit(False)
+    return reduce(or_, preds)

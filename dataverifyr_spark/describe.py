@@ -1,0 +1,199 @@
+"""``describe`` — per-column profiling (R/describe.R:32-64).
+
+One row per column: ``var, type, n, n_distinct, n_na, most_frequent, min,
+mean, median, max, sd``.  Follows the reference's own batched-collectibles
+strategy (R/describe.R:329-422): ALL columns' statistics are computed in a
+single ``df.agg`` with ``stat__col``-aliased outputs, then unpivoted on the
+driver — one scan regardless of column count.  ``most_frequent`` needs a
+per-column top-k groupBy (K small jobs, as in R/describe.R:498-532), skipped
+under ``fast=True`` or ``top_n=0``.
+
+Semantics pinned to the reference:
+- non-numeric columns profile the LENGTH of their string form
+  (R/describe.R:106, :370-401);
+- timestamps count as numeric (R/describe.R:67-69) — profiled as epoch
+  seconds, since our output schema keeps min/mean/median/max/sd as doubles;
+- ``n_distinct`` counts NA as a distinct value (R n_distinct semantics,
+  R/describe.R:112);
+- ``sd`` is the SAMPLE standard deviation (R/describe.R:128);
+- ``fast=True`` leaves n_distinct/median/most_frequent NULL
+  (R/describe.R:604-607) — at 10^12 rows use ``approx=True`` instead, which
+  swaps in HyperLogLog ``approx_count_distinct`` and ``percentile_approx``
+  (shuffle-free sketches) while still filling every column.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["describe", "DESCRIBE_SCHEMA"]
+
+DESCRIBE_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("n_na", T.LongType(), False),
+        T.StructField("most_frequent", T.StringType(), True),
+        T.StructField("min", T.DoubleType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("median", T.DoubleType(), True),
+        T.StructField("max", T.DoubleType(), True),
+        T.StructField("sd", T.DoubleType(), True),
+    ]
+)
+
+_NUMERIC = (
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.DecimalType,
+)
+_TEMPORAL = (T.TimestampType, T.DateType)
+
+
+def _friendly_type(dt: T.DataType) -> str:
+    # Arrow→R style mapping (R/describe.R:585-594)
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return "integer"
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "numeric"
+    if isinstance(dt, T.BooleanType):
+        return "logical"
+    if isinstance(dt, _TEMPORAL):
+        return "datetime"
+    if isinstance(dt, T.StringType):
+        return "character"
+    return dt.simpleString()
+
+
+def _value_expr(name: str, dt: T.DataType) -> Column:
+    """Numeric view of a column: itself, epoch seconds, or string length."""
+    c = F.col(name)
+    if isinstance(dt, _NUMERIC):
+        return c.cast("double")
+    if isinstance(dt, _TEMPORAL):
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, T.BooleanType):
+        return c.cast("double")
+    return F.length(c.cast("string")).cast("double")
+
+
+def _fmt_value(v, digits: int) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        r = round(v, digits)
+        if math.isfinite(r) and r == int(r):
+            return str(int(r))
+        return f"{r:g}"
+    return str(v)
+
+
+def describe(
+    df: DataFrame,
+    skip_ones: bool = True,
+    digits: int = 4,
+    top_n: int = 3,
+    fast: bool = False,
+    approx: bool = False,
+) -> DataFrame:
+    """Profile every column of ``df`` in one fused aggregation scan."""
+    spark = df.sparkSession
+    fields = list(df.schema.fields)
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
+    for f in fields:
+        c, name = F.col(f.name), f.name
+        val = _value_expr(name, f.dataType)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
+        if not fast:
+            if approx:
+                aggs.append(F.approx_count_distinct(c).alias(f"nd__{name}"))
+            else:
+                aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
+            aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
+            if approx:
+                aggs.append(F.percentile_approx(val, 0.5).alias(f"med__{name}"))
+            else:
+                aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
+        aggs.append(F.min(val).alias(f"min__{name}"))
+        aggs.append(F.mean(val).alias(f"mean__{name}"))
+        aggs.append(F.max(val).alias(f"max__{name}"))
+        aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
+
+    # exact percentile needs a named column, so materialize the numeric views
+    proj = [F.col(f.name) for f in fields] + [
+        _value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields
+    ]
+    row = df.select(*proj).agg(*aggs).collect()[0].asDict()
+    n = int(row["n__"])
+
+    out_rows: list[tuple] = []
+    for f in fields:
+        name = f.name
+        n_na = int(row[f"na__{name}"] or 0)
+        if fast:
+            n_distinct = None
+            median = None
+        else:
+            # R n_distinct counts NA as one distinct value (R/describe.R:112)
+            n_distinct = int(row[f"nd__{name}"] or 0) + int(row[f"anynull__{name}"] or 0)
+            med = row[f"med__{name}"]
+            median = float(med) if med is not None else None
+
+        most_frequent = None
+        if not fast and top_n > 0 and (n_distinct or 0) > 1:
+            mf = _most_frequent(df, f, top_n, digits, skip_ones)
+            most_frequent = mf
+        out_rows.append(
+            (
+                name,
+                _friendly_type(f.dataType),
+                n,
+                n_distinct,
+                n_na,
+                most_frequent,
+                _f(row[f"min__{name}"]),
+                _f(row[f"mean__{name}"]),
+                median,
+                _f(row[f"max__{name}"]),
+                _f(row[f"sd__{name}"]),
+            )
+        )
+    return spark.createDataFrame(out_rows, DESCRIBE_SCHEMA)
+
+
+def _f(v) -> float | None:
+    return None if v is None else float(v)
+
+
+def _most_frequent(
+    df: DataFrame, field: T.StructField, top_n: int, digits: int, skip_ones: bool
+) -> str | None:
+    """Top-k formatter (R/describe.R:75-93): ``"v (c), v2 (c2)"``, numeric
+    values rounded to ``digits``; ``skip_ones`` drops count==1 entries."""
+    counts = (
+        df.groupBy(F.col(field.name).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc_nulls_last("v"))
+        .limit(top_n + 1)  # +1 so skip_ones can trim and still fill top_n
+        .collect()
+    )
+    parts = []
+    for r in counts:
+        if skip_ones and r["c"] <= 1:
+            continue
+        v = "NA" if r["v"] is None else _fmt_value(r["v"], digits)
+        parts.append(f"{v} ({r['c']})")
+        if len(parts) >= top_n:
+            break
+    return ", ".join(parts) if parts else None

@@ -1,0 +1,110 @@
+"""``filter_fails`` — violation-row extraction (R/filters.R:27-92).
+
+Failure-predicate algebra (R/filters.R:59-74), order is load-bearing:
+1. negate wrap:      e' = !(e)            when negate
+2. NA guard:         allow_na  ⇒ (e') | is.na(s1) | ...
+                     !allow_na ⇒ (e') & !is.na(s1) & ...   (anti-guard: NULL
+                     symbol rows must come out as FAILURES after step 3)
+3. outer negation:   fail ⇔ !(guarded)
+
+Spark three-valued logic makes the anti-guard exact: ``FALSE AND NULL`` is
+FALSE, so a NULL-symbol row yields guarded=FALSE ⇒ fail=TRUE, matching the R
+goldens (tests/testthat/test-filters.R:22-32).
+
+Scale design: the combined (non-per-rule) mode is a SINGLE scan — per-rule
+fail flags are assembled into an array of rule tags, NULL-filtered and
+exploded, reproducing the reference's rbind-with-duplicates multiset
+(R/filters.R:89) in one pass instead of one scan per rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rules import ReferenceRule, Rule, Ruleset
+
+__all__ = ["filter_fails", "fail_predicate"]
+
+
+def fail_predicate(r: Rule) -> Column:
+    """Failure predicate for one rule (see module docstring)."""
+    from .expr import compile_expr
+
+    res = compile_expr(r.expr)
+    pred = res.column
+    if r.negate:
+        pred = ~pred
+    if r.allow_na:
+        for s in res.symbols:
+            pred = pred | F.col(s).isNull()
+    else:
+        for s in res.symbols:
+            pred = pred & F.col(s).isNotNull()
+    return ~pred
+
+
+def _rules_from_result(res: DataFrame | Ruleset) -> list[Rule]:
+    if isinstance(res, Ruleset):
+        return [r for r in res if not isinstance(r, ReferenceRule)]
+    if isinstance(res, Rule):
+        return [res]
+    # a check_data summary DataFrame: keep failed row_rules only
+    # (R/filters.R:42-47); this is a tiny driver-side table
+    rows = res.select("check_type", "name", "expr", "allow_na", "negate", "fail").collect()
+    return [
+        Rule(expr=r["expr"], name=r["name"], allow_na=r["allow_na"], negate=r["negate"])
+        for r in rows
+        if r["check_type"] == "row_rule" and r["fail"] != 0
+    ]
+
+
+def filter_fails(
+    res: DataFrame | Ruleset | Rule,
+    x: DataFrame,
+    per_rule: bool = False,
+    *,
+    tag: bool = False,
+    drop_empty: bool = True,
+) -> DataFrame | dict[str, DataFrame]:
+    """Rows of ``x`` failing ≥1 rule.
+
+    per_rule=True → dict keyed by the ORIGINAL expr string, empty entries
+    dropped (R/filters.R:86-88; ``drop_empty=False`` keeps them lazy/no jobs).
+    per_rule=False → one DataFrame, duplicates retained when a row fails
+    several rules (R/filters.R:89).  ``tag=True`` adds a ``failed_rule``
+    column (scale extension: write straight to a violations table).
+    """
+    rules = _rules_from_result(res)
+    usable: list[tuple[Rule, Column]] = []
+    for r in rules:
+        try:
+            pred = fail_predicate(r)
+            x.select(pred.alias("__probe"))  # force analysis now
+            usable.append((r, pred))
+        except Exception:
+            # uncompilable rule (e.g. missing column) cannot identify
+            # violation rows; check_data already reported it as an error row
+            continue
+
+    if per_rule:
+        out: dict[str, DataFrame] = {}
+        for r, pred in usable:
+            flt = x.filter(pred)
+            if drop_empty and flt.isEmpty():
+                continue
+            out[r.expr] = flt
+        return out
+
+    if not usable:
+        return x.limit(0).withColumn("failed_rule", F.lit("")) if tag else x.limit(0)
+
+    # single-scan combined mode: array of failing-rule tags → explode
+    flags = [F.when(pred, F.lit(r.expr)) for r, pred in usable]
+    tagged = (
+        x.withColumn("__fails", F.filter(F.array(*flags), lambda v: v.isNotNull()))
+        .filter(F.size("__fails") > 0)
+        .withColumn("failed_rule", F.explode("__fails"))
+        .drop("__fails")
+    )
+    return tagged if tag else tagged.drop("failed_rule")

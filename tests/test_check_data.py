@@ -1,0 +1,139 @@
+"""check_data golden contract — mirrors tests/testthat/test-check_data.R
+(dplyr-backend semantics, the reference's canonical expectations)."""
+
+import pytest
+
+from dataverifyr_spark import CheckDataError, check_data, rule, ruleset
+from dataverifyr_spark.check import check_data_by
+from dataverifyr_spark.fixtures import cars, orders
+
+
+@pytest.fixture(scope="module")
+def cars_df(spark):
+    return cars(spark, "contract").cache()
+
+
+@pytest.fixture(scope="module")
+def contract_rules():
+    return ruleset(
+        rule("mpg > 10 & mpg < 35"),
+        rule("mpg < 10 & mpg > 34", negate=True),
+        rule("disp > 100", allow_na=True),
+        rule("as.numeric(hp) > 0 & as.numeric(hp) < 400"),
+        rule("does_not_exist %in% c('a', 'b', 'c')"),
+    )
+
+
+def _rows(res):
+    return [r.asDict() for r in res.collect()]
+
+
+class TestContract:
+    # expected per test-check_data.R:21-33 (r1 adapted: reference uses
+    # mpg range rule giving 32/0)
+    def test_golden_counts(self, spark, cars_df, contract_rules):
+        rows = _rows(check_data(cars_df, contract_rules))
+        assert len(rows) == 5
+        expect = [
+            (32, 32, 0),
+            (32, 32, 0),
+            (32, 27, 5),
+            (32, 31, 1),
+            (32, 0, 32),
+        ]
+        got = [(r["tests"], r["pass"], r["fail"]) for r in rows]
+        assert got == expect
+
+    def test_warn_and_error_columns(self, spark, cars_df, contract_rules):
+        rows = _rows(check_data(cars_df, contract_rules))
+        # r4: coercion warning (test-check_data.R:30)
+        assert rows[3]["warn"] == "NAs introduced by coercion"
+        assert rows[3]["error"] == ""
+        # r5: missing column -> error row, no exception (R/check_data.R:301-315)
+        assert rows[4]["error"] != ""
+        assert rows[4]["warn"] == ""
+        for i in (0, 1, 2):
+            assert rows[i]["warn"] == "" and rows[i]["error"] == ""
+
+    def test_result_schema_and_order(self, spark, cars_df, contract_rules):
+        res = check_data(cars_df, contract_rules)
+        assert res.columns == [
+            "check_type",
+            "name",
+            "expr",
+            "allow_na",
+            "negate",
+            "tests",
+            "pass",
+            "fail",
+            "warn",
+            "error",
+            "time",
+        ]
+        rows = _rows(res)
+        assert all(r["check_type"] == "row_rule" for r in rows)
+        # ruleset order preserved
+        assert [r["expr"] for r in rows] == [r.expr for r in contract_rules]
+
+    def test_single_rule_coercion(self, spark, cars_df):
+        rows = _rows(check_data(cars_df, rule("disp > 100", allow_na=True)))
+        assert (rows[0]["tests"], rows[0]["pass"], rows[0]["fail"]) == (32, 27, 5)
+
+    def test_negate_allow_na_order(self, spark):
+        # allow_na is applied AFTER negation (R/check_data.R:277-287):
+        # negate(x > 1) with allow_na rescues the NULL row
+        df = spark.createDataFrame([(0.0,), (2.0,), (None,)], "x double")
+        rows = _rows(check_data(df, rule("x > 1", negate=True, allow_na=True)))
+        assert (rows[0]["pass"], rows[0]["fail"]) == (2, 1)
+
+    def test_na_fails_without_allow_na(self, spark):
+        df = spark.createDataFrame([(0.0,), (2.0,), (None,)], "x double")
+        rows = _rows(check_data(df, rule("x >= 0")))
+        assert (rows[0]["pass"], rows[0]["fail"]) == (2, 1)
+
+
+class TestStopGates:
+    def test_stop_on_fail(self, spark, cars_df):
+        with pytest.raises(CheckDataError, match="found 1 rule fails"):
+            check_data(cars_df, rule("disp > 100", allow_na=True), stop_on_fail=True)
+
+    def test_stop_on_error(self, spark, cars_df):
+        with pytest.raises(CheckDataError, match="1 errors"):
+            check_data(cars_df, rule("nope > 1"), stop_on_error=True)
+
+    def test_stop_on_warn(self, spark, cars_df):
+        with pytest.raises(CheckDataError, match="1 warnings"):
+            check_data(cars_df, rule("as.numeric(hp) > 0"), stop_on_warn=True)
+
+    def test_no_stop_when_clean(self, spark, cars_df):
+        res = check_data(
+            cars_df, rule("mpg > 0"), stop_on_fail=True, stop_on_warn=True, stop_on_error=True
+        )
+        assert _rows(res)[0]["fail"] == 0
+
+
+class TestOrdersReadme:
+    # README.md:108-150 golden: each rule tests=8, pass=6, fail=2
+    def test_orders_goldens(self, spark):
+        df = orders(spark)
+        rules = ruleset(
+            rule("amount >= 0 & amount <= 10000"),
+            rule("customer_tier %in% c('bronze', 'silver', 'gold')"),
+            rule("!paid | payment_method != 'none'"),
+        )
+        rows = _rows(check_data(df, rules))
+        assert [(r["tests"], r["pass"], r["fail"]) for r in rows] == [(8, 6, 2)] * 3
+
+
+class TestCheckDataBy:
+    def test_grouped_summary(self, spark, cars_df):
+        rules = ruleset(rule("mpg > 20"), rule("disp > 100", allow_na=True))
+        out = check_data_by(cars_df, rules, by="cyl")
+        rows = {(r["cyl"], r["expr"]): (r["tests"], r["pass"], r["fail"]) for r in out.collect()}
+        # cyl==4: 11 rows, all mpg>20 except 15.8? no — 4-cyl mpg all >20
+        assert rows[(4.0, "mpg > 20")] == (11, 11, 0)
+        assert rows[(8.0, "mpg > 20")] == (14, 0, 14)
+        # totals across groups match ungrouped run
+        total_pass = sum(v[1] for (g, e), v in rows.items() if e == "mpg > 20")
+        flat = _rows(check_data(cars_df, rule("mpg > 20")))[0]
+        assert total_pass == flat["pass"]

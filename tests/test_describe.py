@@ -1,0 +1,106 @@
+"""describe profiling — semantics per R/describe.R (see module docstring for
+pinned divergences: min/mean/median/max/sd are doubles; timestamps profile as
+epoch seconds)."""
+
+import datetime as dt
+
+import pytest
+
+from dataverifyr_spark import describe
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1.0, "a", 10, dt.datetime(2025, 1, 1)),
+        (2.0, "bb", 10, dt.datetime(2025, 1, 2)),
+        (3.0, "ccc", 20, None),
+        (None, None, 20, dt.datetime(2025, 1, 4)),
+        (5.0, "a", 20, dt.datetime(2025, 1, 5)),
+    ]
+    return spark.createDataFrame(rows, "x double, s string, g int, t timestamp").cache()
+
+
+def _by_var(res):
+    return {r["var"]: r.asDict() for r in res.collect()}
+
+
+class TestDescribe:
+    def test_schema(self, spark, df):
+        res = describe(df)
+        assert res.columns == [
+            "var",
+            "type",
+            "n",
+            "n_distinct",
+            "n_na",
+            "most_frequent",
+            "min",
+            "mean",
+            "median",
+            "max",
+            "sd",
+        ]
+
+    def test_numeric_stats(self, spark, df):
+        r = _by_var(describe(df))["x"]
+        assert r["type"] == "numeric"
+        assert r["n"] == 5
+        assert r["n_na"] == 1
+        # n_distinct counts NA as a distinct value (R/describe.R:112)
+        assert r["n_distinct"] == 5
+        assert r["min"] == 1.0 and r["max"] == 5.0
+        assert r["mean"] == pytest.approx(2.75)
+        assert r["median"] == pytest.approx(2.5)
+        assert r["sd"] == pytest.approx(1.7078251, rel=1e-6)
+
+    def test_string_stats_over_lengths(self, spark, df):
+        # non-numeric: min/mean/max over nchar (R/describe.R:106)
+        r = _by_var(describe(df))["s"]
+        assert r["type"] == "character"
+        assert r["min"] == 1.0 and r["max"] == 3.0
+        assert r["mean"] == pytest.approx(7 / 4)
+
+    def test_most_frequent_formatting(self, spark, df):
+        res = _by_var(describe(df, top_n=2))
+        # g: 20 appears 3x, 10 appears 2x
+        assert res["g"]["most_frequent"] == "20 (3), 10 (2)"
+        # s: only 'a' repeats; skip_ones drops singletons
+        assert res["s"]["most_frequent"] == "a (2)"
+
+    def test_skip_ones_false(self, spark, df):
+        res = _by_var(describe(df, skip_ones=False, top_n=2))
+        assert res["g"]["most_frequent"] == "20 (3), 10 (2)"
+
+    def test_single_distinct_suppressed(self, spark):
+        df1 = _one_col(spark)
+        r = _by_var(describe(df1))["v"]
+        assert r["most_frequent"] is None
+
+    def test_top_n_zero(self, spark, df):
+        res = _by_var(describe(df, top_n=0))
+        assert all(r["most_frequent"] is None for r in res.values())
+
+    def test_fast_mode(self, spark, df):
+        # fast: n_distinct/median/most_frequent are NULL (R/describe.R:604-607)
+        res = _by_var(describe(df, fast=True))
+        for r in res.values():
+            assert r["n_distinct"] is None
+            assert r["median"] is None
+            assert r["most_frequent"] is None
+        assert res["x"]["mean"] == pytest.approx(2.75)
+
+    def test_approx_mode_fills_everything(self, spark, df):
+        res = _by_var(describe(df, approx=True))
+        assert res["x"]["n_distinct"] is not None
+        assert res["x"]["median"] is not None
+
+    def test_timestamp_as_numeric(self, spark, df):
+        r = _by_var(describe(df))["t"]
+        assert r["type"] == "datetime"
+        assert r["n_na"] == 1
+        assert r["min"] is not None and r["max"] > r["min"]
+
+
+def _one_col(spark):
+    return spark.createDataFrame([(1,), (1,), (1,)], "v int")

@@ -1,0 +1,130 @@
+"""Reference rules + schema (data_column) checks — mirrors
+tests/testthat/test-features-v1.R:61-155."""
+
+import pytest
+
+from dataverifyr_spark import (
+    CheckDataError,
+    check_data,
+    data_column,
+    reference_rule,
+    rule,
+    ruleset,
+)
+from dataverifyr_spark.fixtures import carriers, flights
+
+
+def _rows(res):
+    return [r.asDict() for r in res.collect()]
+
+
+class TestReferenceRule:
+    def test_golden_allow_na(self, spark):
+        # flights AA/BB/NULL vs carriers {AA}, allow_na=TRUE ⇒ 3/2/1
+        # (test-features-v1.R:146-149)
+        rs = ruleset(reference_rule("carrier", "carriers", "carrier_id", allow_na=True))
+        res = check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs)
+        r = _rows(res)[0]
+        assert r["check_type"] == "reference_rule"
+        assert (r["tests"], r["pass"], r["fail"]) == (3, 2, 1)
+
+    def test_without_allow_na(self, spark):
+        rs = ruleset(reference_rule("carrier", "carriers", "carrier_id"))
+        res = check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs)
+        r = _rows(res)[0]
+        # NULL %in% set is FALSE in R (never NA) ⇒ only AA passes
+        assert (r["tests"], r["pass"], r["fail"]) == (3, 1, 2)
+
+    def test_negated_blacklist(self, spark):
+        # R/data_column.R:136-148 blacklist pattern: negate inverts membership;
+        # NULL: %in% gives FALSE, negated ⇒ TRUE ⇒ pass
+        rs = ruleset(reference_rule("carrier", "carriers", "carrier_id", negate=True))
+        res = check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs)
+        r = _rows(res)[0]
+        assert (r["tests"], r["pass"], r["fail"]) == (3, 2, 1)
+
+    def test_missing_ref_dataset_is_error_row(self, spark):
+        # test-features-v1.R:151-155
+        rs = ruleset(reference_rule("carrier", "nope", "carrier_id"))
+        res = check_data({"flights": flights(spark)}, rs)
+        r = _rows(res)[0]
+        assert r["error"] != "" and (r["pass"], r["fail"]) == (0, 3)
+
+    def test_row_order_schema_then_rules_then_reference(self, spark):
+        # R/check_data.R:127-144
+        rs = ruleset(
+            reference_rule("carrier", "carriers", "carrier_id"),
+            rule("nchar(carrier) == 2", allow_na=True),
+            data_columns=[data_column("carrier", "string")],
+        )
+        res = check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs)
+        assert [r["check_type"] for r in _rows(res)] == [
+            "schema",
+            "schema",
+            "row_rule",
+            "reference_rule",
+        ]
+
+
+class TestSchemaChecks:
+    @pytest.fixture()
+    def df(self, spark):
+        return spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+
+    def test_exists_and_type_rows(self, spark, df):
+        rs = ruleset(
+            rule("a > 0"),
+            data_columns=[data_column("a", "int"), data_column("b", "int", optional=True)],
+        )
+        rows = _rows(check_data(df, rs, extra_columns="ignore"))
+        schema_rows = [r for r in rows if r["check_type"] == "schema"]
+        assert all(r["pass"] == 1 for r in schema_rows)
+        exprs = [r["expr"] for r in schema_rows]
+        assert "column_exists('a')" in exprs
+        assert "column_type('a') == 'int'" in exprs
+
+    def test_missing_required_column(self, spark, df):
+        rs = ruleset(data_columns=[data_column("z", "int")])
+        rows = _rows(check_data(df, rs))
+        assert rows[0]["fail"] == 1 and "z" in rows[0]["error"]
+
+    def test_optional_missing_passes(self, spark, df):
+        rs = ruleset(data_columns=[data_column("z", "int", optional=True)])
+        rows = _rows(check_data(df, rs))
+        assert rows[0]["pass"] == 1
+
+    def test_type_mismatch(self, spark):
+        df = spark.createDataFrame([("x",)], "a string")
+        rs = ruleset(data_columns=[data_column("a", "int")])
+        rows = _rows(check_data(df, rs))
+        type_row = [r for r in rows if "column_type" in r["expr"]][0]
+        assert type_row["fail"] == 1
+
+    def test_int_passes_numeric_declaration(self, spark):
+        # R is.numeric: integers pass a numeric/double declaration
+        df = spark.createDataFrame([(1,)], "a int")
+        rows = _rows(check_data(df, ruleset(data_columns=[data_column("a", "numeric")])))
+        assert all(r["pass"] == 1 for r in rows)
+
+    def test_unknown_declared_type_always_passes(self, spark, df):
+        # R/data_column.R:328
+        rows = _rows(check_data(df, ruleset(data_columns=[data_column("a", "uuid")])))
+        assert all(r["pass"] == 1 for r in rows)
+
+    def test_extra_columns_fail_policy(self, spark, df):
+        rs = ruleset(data_columns=[data_column("a", "int")])
+        rows = _rows(check_data(df, rs, extra_columns="fail"))
+        extra_rows = [r for r in rows if r["name"].startswith("Extra column")]
+        assert {r["name"] for r in extra_rows} == {"Extra column: b", "Extra column: c"}
+        assert all(r["fail"] == 1 for r in extra_rows)
+
+    def test_unknown_symbol_hard_stop(self, spark, df):
+        # R/data_column.R:228-236
+        rs = ruleset(rule("zz > 1"), data_columns=[data_column("a", "int")])
+        with pytest.raises(ValueError, match="undeclared"):
+            check_data(df, rs)
+
+    def test_stop_on_schema_fail(self, spark, df):
+        rs = ruleset(data_columns=[data_column("z", "int")])
+        with pytest.raises(CheckDataError, match="schema fails"):
+            check_data(df, rs, stop_on_schema_fail=True)
