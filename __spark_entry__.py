@@ -1,38 +1,372 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ training-data-pipeline extensions); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL over the same parquet views.  Column names and
+rounding are aligned on both sides (the driver hashes values after sorting
+columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import dataverifyr_spark as dv
+from dataverifyr_spark.check import check_data_by
+from dataverifyr_spark.operators.similarity import cosine_similarity_col
+from dataverifyr_spark.operators.text import STOPWORDS
+from dataverifyr_spark.operators.uniqueness import distinct_count_salted
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# rule sets shared between queries() and entry()
+# ---------------------------------------------------------------------------
+
+_LINEITEM_RULES = dv.ruleset(
+    dv.rule("l_quantity > 0 & l_quantity <= 30", name="q1"),
+    dv.rule("l_discount >= 0 & l_discount <= 0.05", name="q2"),
+    dv.rule("l_returnflag %in% c('A', 'N')", name="q3"),
+    dv.rule("l_tax >= 0.05", name="q4", negate=True),
+    dv.rule("l_extendedprice > 1000", name="q5", allow_na=True),
+)
+
+_CUSTOMER_RULES = dv.ruleset(
+    dv.rule("c_acctbal >= 0", name="v1"),
+    dv.rule(
+        "c_mktsegment %in% c('MACHINERY', 'HOUSEHOLD', 'BUILDING', 'FURNITURE')", name="v2"
+    ),
+)
+
+_SUMMARY_COLS = ["check_type", "name", "expr", "allow_na", "negate", "tests", "pass", "fail"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused 5-rule validation of sf0.001 lineitem."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    return dv.check_data(li, _LINEITEM_RULES).select(*_SUMMARY_COLS)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return dv.check_data(li, _LINEITEM_RULES).select(*_SUMMARY_COLS)
+
+
+def q_check_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rules = dv.ruleset(
+        dv.rule("l_quantity > 0 & l_quantity <= 30", name="q1"),
+        dv.rule("l_discount >= 0 & l_discount <= 0.05", name="q2"),
+    )
+    return check_data_by(li, rules, by="l_returnflag")
+
+
+def q_violations_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return dv.filter_fails(_CUSTOMER_RULES, cust, tag=True)
+
+
+def q_reference_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    datasets = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    rs = dv.ruleset(dv.reference_rule("o_custkey", "customer", "c_custkey", name="fk1"))
+    return dv.check_data(datasets, rs).select(*_SUMMARY_COLS)
+
+
+def q_describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    d = dv.describe(cust, top_n=0)
+    return d.select(
+        "var",
+        "type",
+        "n",
+        "n_distinct",
+        "n_na",
+        F.round("min", 6).alias("min"),
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        F.round("max", 6).alias("max"),
+        F.round("sd", 6).alias("sd"),
+    )
+
+
+def q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    distinct = distinct_count_salted(li, ["l_orderkey", "l_linenumber"])
+    return spark.createDataFrame(
+        [("l_orderkey.l_linenumber", total, distinct, total - distinct, distinct == total)],
+        "key string, total_rows bigint, distinct_keys bigint, duplicate_rows bigint, is_unique boolean",
+    )
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 fingerprint (not xxhash64) so the DuckDB oracle can reproduce it
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = F.split(text, " ")
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(alpha.cast("double") / n_chars, 6).alias("alpha_ratio"),
+        F.round((n_chars - n_tokens + 1).cast("double") / n_tokens, 6).alias("mean_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6).alias(
+            "distinct_token_ratio"
+        ),
+    )
+
+
+def q_lang_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    langs = sorted(STOPWORDS)
+    cols = [F.col("doc_id")]
+    for lang in langs:
+        words = list(STOPWORDS[lang])
+        cols.append(F.size(F.filter(toks, lambda t: t.isin(words))).alias(f"score_{lang}"))
+    out = docs.select(*cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.coalesce(*[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs])
+    return out.withColumn("lang_guess", F.when(best > 0, guess))
+
+
+def q_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    q = F.array(*[F.lit(v) for v in qvec])
+    sim = F.round(cosine_similarity_col(F.col("embedding"), q), 4)
+    return (
+        emb.filter(F.col("vec_id") > 0)
+        .select("vec_id", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "check_lineitem": q_check_lineitem,
+        "check_by_returnflag": q_check_by_returnflag,
+        "violations_customer": q_violations_customer,
+        "reference_orders_customer": q_reference_orders_customer,
+        "describe_customer": q_describe_customer,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "quality_documents": q_quality_documents,
+        "lang_scores_documents": q_lang_scores_documents,
+        "topk_embeddings": q_topk_embeddings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _rule_row_sql(name: str, expr_label: str, pred_sql: str, allow_na: str, negate: str) -> str:
+    return f"""
+    SELECT 'row_rule' AS check_type, '{name}' AS name, '{expr_label}' AS expr,
+           {allow_na} AS allow_na, {negate} AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(COALESCE(SUM(CASE WHEN {pred_sql} THEN 1 ELSE 0 END), 0) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - COALESCE(SUM(CASE WHEN {pred_sql} THEN 1 ELSE 0 END), 0) AS BIGINT) AS fail
+    FROM lineitem"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    seg = "('MACHINERY', 'HOUSEHOLD', 'BUILDING', 'FURNITURE')"
+    seg_expr = "c_mktsegment %in% c(''MACHINERY'', ''HOUSEHOLD'', ''BUILDING'', ''FURNITURE'')"
+    check_lineitem = " UNION ALL ".join(
+        [
+            _rule_row_sql(
+                "q1", "l_quantity > 0 & l_quantity <= 30",
+                "l_quantity > 0 AND l_quantity <= 30", "FALSE", "FALSE",
+            ),
+            _rule_row_sql(
+                "q2", "l_discount >= 0 & l_discount <= 0.05",
+                "l_discount >= 0 AND l_discount <= 0.05", "FALSE", "FALSE",
+            ),
+            _rule_row_sql(
+                "q3", "l_returnflag %in% c(''A'', ''N'')",
+                "l_returnflag IN ('A', 'N')", "FALSE", "FALSE",
+            ),
+            _rule_row_sql("q4", "l_tax >= 0.05", "NOT (l_tax >= 0.05)", "FALSE", "TRUE"),
+            _rule_row_sql(
+                "q5", "l_extendedprice > 1000",
+                "l_extendedprice > 1000 OR l_extendedprice IS NULL", "TRUE", "FALSE",
+            ),
+        ]
+    )
+
+    check_by = """
+    SELECT l_returnflag, 'q1' AS name, 'l_quantity > 0 & l_quantity <= 30' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'q2' AS name, 'l_discount >= 0 & l_discount <= 0.05' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM lineitem GROUP BY l_returnflag
     """
-    return {}
+
+    violations = f"""
+    SELECT *, 'c_acctbal >= 0' AS failed_rule FROM customer
+    WHERE NOT (c_acctbal >= 0 AND c_acctbal IS NOT NULL)
+    UNION ALL
+    SELECT *, '{seg_expr}' AS failed_rule FROM customer
+    WHERE NOT (c_mktsegment IN {seg} AND c_mktsegment IS NOT NULL)
+    """
+
+    reference = """
+    SELECT 'reference_rule' AS check_type, 'fk1' AS name,
+           'o_custkey %in% customer$c_custkey' AS expr,
+           FALSE AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM orders
+    """
+
+    def desc_col(col: str, typ: str, numeric: bool) -> str:
+        val = col if numeric else f"LENGTH(CAST({col} AS VARCHAR))"
+        return f"""
+        SELECT '{col}' AS var, '{typ}' AS type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT {col}) + CASE WHEN COUNT(*) > COUNT({col}) THEN 1 ELSE 0 END AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_na,
+               ROUND(CAST(MIN({val}) AS DOUBLE), 6) AS min,
+               ROUND(AVG(CAST({val} AS DOUBLE)), 6) AS mean,
+               ROUND(CAST(quantile_cont(CAST({val} AS DOUBLE), 0.5) AS DOUBLE), 6) AS median,
+               ROUND(CAST(MAX({val}) AS DOUBLE), 6) AS max,
+               ROUND(STDDEV_SAMP(CAST({val} AS DOUBLE)), 6) AS sd
+        FROM customer"""
+
+    describe = " UNION ALL ".join(
+        [
+            desc_col("c_custkey", "integer", True),
+            desc_col("c_name", "character", False),
+            desc_col("c_nationkey", "integer", True),
+            desc_col("c_acctbal", "numeric", True),
+            desc_col("c_mktsegment", "character", False),
+        ]
+    )
+
+    uniqueness = """
+    SELECT 'l_orderkey.l_linenumber' AS key,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total_rows,
+           CAST(d.n AS BIGINT) AS distinct_keys,
+           CAST((SELECT COUNT(*) FROM lineitem) - d.n AS BIGINT) AS duplicate_rows,
+           (SELECT COUNT(*) FROM lineitem) = d.n AS is_unique
+    FROM (SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) d
+    """
+
+    dedup = """
+    SELECT md5(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """
+
+    token_stats = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_calc,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+    FROM documents
+    """
+
+    quality = """
+    SELECT doc_id,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS alpha_ratio,
+           ROUND(CAST(LENGTH(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_token_len,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS distinct_token_ratio
+    FROM documents
+    """
+
+    langs = sorted(STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({inlist}))) AS INT) AS score_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    guess_cases = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    lang_scores = f"""
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           CASE WHEN {best} > 0 THEN (CASE {guess_cases} END) END AS lang_guess
+    FROM (SELECT doc_id, {", ".join(score_exprs)} FROM documents)
+    """
+
+    topk = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(
+             list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))),
+             4) AS cosine_sim
+    FROM embeddings, q
+    WHERE vec_id > 0
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+    return {
+        "check_lineitem": check_lineitem,
+        "check_by_returnflag": check_by,
+        "violations_customer": violations,
+        "reference_orders_customer": reference,
+        "describe_customer": describe,
+        "uniqueness_lineitem": uniqueness,
+        "dedup_exact_documents": dedup,
+        "token_stats_documents": token_stats,
+        "quality_documents": quality,
+        "lang_scores_documents": lang_scores,
+        "topk_embeddings": topk,
+    }

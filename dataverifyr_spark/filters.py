@@ -77,10 +77,12 @@ def filter_fails(
     """
     rules = _rules_from_result(res)
     usable: list[tuple[Rule, Column]] = []
+    # schema-only probe frame: rule analysis cost must not scale with x's plan
+    probe_df = x.sparkSession.createDataFrame([], x.schema)
     for r in rules:
         try:
             pred = fail_predicate(r)
-            x.select(pred.alias("__probe"))  # force analysis now
+            probe_df.select(pred.alias("__probe"))  # force analysis now
             usable.append((r, pred))
         except Exception:
             # uncompilable rule (e.g. missing column) cannot identify

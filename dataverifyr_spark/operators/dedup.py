@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a fingerprint group-by (one shuffle, partial-agg friendly).
+Near-dup is MinHash + LSH banding: shingle → per-seed min-hash →
+band keys → self-join on (band, band_hash) — candidate pairs only, never the
+O(n²) cross join.  SimHash gives a 64-bit similarity fingerprint whose
+Hamming distance approximates cosine similarity of token frequency vectors.
+
+Everything below is built-in ``pyspark.sql.functions`` column algebra
+(xxhash64 with a per-seed salt literal, transform/array_min for the min-hash,
+aggregate for simhash bit-majority) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dup_groups",
+    "drop_exact_dupes",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_jaccard",
+]
+
+
+def _norm(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint group-by: one row per distinct content with its copy count
+    and the minimum id (the canonical survivor)."""
+    return (
+        df.select(F.xxhash64(_norm(F.col(text_col))).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def drop_exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct normalized content.
+
+    Join back on (fingerprint, id) — two shuffles total, no window over the
+    full table (a row_number window would sort every partition's worth of
+    payload bytes; this joins only the small (fingerprint, keep_id) side).
+    """
+    keep = exact_dup_groups(df, text_col, id_col).select(
+        "fingerprint", F.col("keep_id").alias(id_col)
+    )
+    fp = df.withColumn("fingerprint", F.xxhash64(_norm(F.col(text_col))))
+    return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct)."""
+    toks = F.split(_norm(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """id + minhash signature array (length num_hashes).
+
+    Each hash family member is ``xxhash64(shingle, seed_i)``; min over the
+    shingle set approximates Jaccard similarity between documents.
+
+    Shape: explode shingles → one flat row per (id, shingle) → groupBy(id)
+    with ``min`` aggregates.  The min-agg combines map-side, the shuffle
+    carries only num_hashes longs per document, and codegen sees a flat
+    projection of xxhash64 calls instead of num_hashes nested array
+    transforms (which measured ~5x slower and grow with document length).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and self-join on band buckets → candidate pairs.
+
+    Rows with ANY identical band collide; output is distinct (id_a < id_b)
+    pairs.  The join key is (band_index, hash(band slice)) so the shuffle key
+    space is wide even when one band value is hot.
+    """
+    sig = F.col("signature")
+    rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, pure column algebra:
+    per token a 64-bit hash; per bit, majority vote weighted by token count.
+
+    Implemented as: for each bit b, sum(±1 per token) > 0 → bit set.  The
+    per-bit sums come from one ``aggregate`` over the token array per row —
+    no shuffle, no UDF.
+    """
+    toks = F.split(_norm(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return df.withColumn("simhash", sim)
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    left_text: str,
+    right_text: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for candidate pairs (the verify
+    step after LSH)."""
+    a = shingles(F.col(left_text), k)
+    b = shingles(F.col(right_text), k)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return df_pairs.withColumn(
+        "jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    )

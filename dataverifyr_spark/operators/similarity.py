@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — the dot product is a single
+``F.aggregate``/``zip_with`` column expression (JVM-side), and the top-k is a
+global sort LIMIT which Spark executes as per-partition top-k + merge
+(TakeOrderedAndProject), no full sort shuffle.
+
+Scale path: random-hyperplane LSH — sign-bit bucket keys computed with the
+same column algebra; candidate search touches only the query's bucket
+(and optionally Hamming-adjacent probes), turning O(N) scans into
+O(N / 2^bits) per query.  Hyperplanes are derived deterministically from a
+seed via xxhash64 so driver and executors agree without broadcasting floats.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_similarity_col", "brute_force_topk", "hyperplane_lsh_buckets", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query goes in as an array literal (constant-folded), so the scan is a
+    single projection + TakeOrderedAndProject — no shuffle of the vectors.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_similarity_col(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a hash sequence (no RNG
+    state, reproducible across driver restarts — resume-safe)."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hash_u64(seed * 1_000_003 + b * 131 + d)
+            row.append((h / 2**63) - 1.0)  # uniform-ish in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def hash_u64(x: int) -> int:
+    # splitmix64 — public-domain mixing function
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``bucket`` column: sign bits of <vec, plane_b> packed into a long."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the brute-force scan to the query's LSH
+    bucket.  Recall improves with fewer bits (bigger buckets); partition the
+    table by ``bucket`` on write to turn this into partition pruning."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << b
+    bucketed = hyperplane_lsh_buckets(df, dim, bits, vec_col, seed)
+    return brute_force_topk(
+        bucketed.filter(F.col("bucket") == qbucket), query_vec, k, vec_col, id_col
+    )

@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup, similarity, text, uniqueness."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataverifyr_spark.operators.dedup import (
+    exact_dup_groups,
+    drop_exact_dupes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from dataverifyr_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_buckets,
+    lsh_topk,
+)
+from dataverifyr_spark.operators.text import language_scores, quality_metrics, token_stats
+from dataverifyr_spark.operators.uniqueness import distinct_count_salted, uniqueness_check
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different words about spark dataframes and shuffles here now"),
+        (5, "der hund und die katze sind ein gutes team mit den anderen"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        groups = {r["n_copies"] for r in exact_dup_groups(docs).collect()}
+        assert groups == {1, 2}
+        dup = [r for r in exact_dup_groups(docs).collect() if r["n_copies"] == 2][0]
+        assert dup["keep_id"] == 1
+
+    def test_drop(self, spark, docs):
+        kept = drop_exact_dupes(docs)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+        assert kept.columns == docs.columns
+
+    def test_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world "), (3, "other")],
+            "doc_id bigint, text string",
+        )
+        dup = [r for r in exact_dup_groups(df).collect() if r["n_copies"] == 2]
+        assert len(dup) == 1
+
+
+class TestMinHashLSH:
+    def test_identical_docs_identical_signatures(self, spark, docs):
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, num_hashes=16).collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[4]
+
+    def test_near_dups_share_most_minhashes(self, spark, docs):
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, num_hashes=32).collect()}
+        agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+        disagree = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+        assert agree > disagree
+
+    def test_lsh_pairs_find_dups(self, spark, docs):
+        sigs = minhash_signatures(docs, num_hashes=32)
+        pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, num_bands=16).collect()}
+        assert (1, 2) in pairs
+        assert (4, 5) not in pairs
+
+    def test_jaccard_verify(self, spark, docs):
+        pairs = docs.alias("a").crossJoin(docs.alias("b")).filter(
+            F.col("a.doc_id") < F.col("b.doc_id")
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard(pairs, "text_a", "text_b").collect()
+        }
+        assert jac[(1, 2)] == 1.0
+        assert 0.5 < jac[(1, 3)] < 1.0
+        assert jac[(1, 4)] == 0.0
+
+
+class TestSimHash:
+    def test_simhash_properties(self, spark, docs):
+        out = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+        assert out[1] == out[2]  # identical docs
+
+        def hamming(a, b):
+            return bin((a ^ b) & 0xFFFF).count("1")
+
+        assert hamming(out[1], out[3]) < hamming(out[1], out[5])
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = []
+        for i in range(50):
+            vec = [math.sin(i * 0.7 + d) for d in range(8)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+
+    def test_brute_force_self_is_top1(self, spark, emb):
+        q = [math.sin(7 * 0.7 + d) for d in range(8)]
+        top = brute_force_topk(emb, q, k=3).collect()
+        assert top[0]["vec_id"] == 7
+        assert top[0]["cosine_sim"] == pytest.approx(1.0)
+
+    def test_lsh_bucket_determinism_and_recall(self, spark, emb):
+        b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(emb, dim=8, bits=4).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(emb, dim=8, bits=4).collect()}
+        assert b1 == b2
+        q = [math.sin(7 * 0.7 + d) for d in range(8)]
+        approx_top = lsh_topk(emb, q, k=3, bits=4).collect()
+        assert approx_top[0]["vec_id"] == 7  # query's own bucket contains itself
+
+
+class TestText:
+    def test_token_stats(self, spark, docs):
+        r = {x["doc_id"]: x for x in token_stats(docs).collect()}
+        assert r[1]["n_tokens"] == 14
+        assert r[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog and runs far away today")
+
+    def test_quality_metrics(self, spark, docs):
+        r = {x["doc_id"]: x for x in quality_metrics(docs).collect()}
+        assert 0.0 < r[1]["alpha_ratio"] < 1.0
+        assert r[1]["distinct_token_ratio"] < 1.0  # 'the' repeats
+
+    def test_language_scores(self, spark, docs):
+        r = {x["doc_id"]: x for x in language_scores(docs).collect()}
+        assert r[1]["lang_guess"] == "en"
+        assert r[5]["lang_guess"] == "de"
+
+
+class TestUniqueness:
+    def test_salted_distinct_matches_exact(self, spark):
+        df = spark.createDataFrame([(i % 100, i % 7) for i in range(10000)], "a int, b int")
+        assert distinct_count_salted(df, ["a", "b"]) == df.select("a", "b").distinct().count()
+
+    def test_uniqueness_check(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (2,)], "k int")
+        row = uniqueness_check(df, "k").collect()[0]
+        assert (row["total_rows"], row["distinct_keys"], row["duplicate_rows"]) == (3, 2, 1)
+        assert row["is_unique"] is False
