@@ -182,6 +182,19 @@ def q_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft flagship: validate a deterministic audio clip + transcript
+    table (input_hint schema) — decode, SNR-vs-regenerated-waveform allclose,
+    transcript equality, sr/dur consistency — in one fused scan.  Not
+    SQL-expressible (binary decode), so no oracle entry: the driver records
+    the rows-only check; pytest pins the exact pass/fail goldens
+    (tests/test_audio.py)."""
+    from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
+
+    clips = clips_table(spark, 2000)
+    return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_lineitem": q_check_lineitem,
@@ -195,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
+        "audio_validate_clips": q_audio_validate_clips,
     }
 
 

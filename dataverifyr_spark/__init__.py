@@ -12,6 +12,7 @@ from .describe import describe
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
 from .io import read_rules, write_rules
+from .misc import detect_backend, plot_res
 from .rules import (
     DataColumn,
     ReferenceRule,
@@ -46,6 +47,8 @@ __all__ = [
     "describe",
     "read_rules",
     "write_rules",
+    "detect_backend",
+    "plot_res",
     "compile_expr",
     "get_symbols",
     "register_function",

@@ -1,0 +1,123 @@
+"""Deterministic clips-table fixture (FIXTURES.md F1, BASELINE.json
+input_hint schema: clip_id, bytes, sr_hz, dur_ms, codec, transcript).
+
+Every cell derives from the row index through splitmix64, so driver, executor
+and test can independently regenerate the expected waveform and transcript
+for any clip_id — the basis of the per-row invariant (decoded-PCM allclose
+SNR≥30dB + transcript equality) and of resume-safe verification at scale.
+Violations are injected at deterministic indices for rule goldens.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.similarity import hash_u64
+from .wav import encode_wav_pcm16
+
+__all__ = ["clips_table", "expected_pcm", "expected_transcript", "clip_index", "CLIP_SCHEMA"]
+
+SAMPLE_RATES = (8000, 16000, 44100, 48000)
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu"
+).split()
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("transcript", T.StringType(), True),
+    ]
+)
+
+# violation injection cadence (deterministic, index-based)
+BAD_SR_EVERY = 17  # sr_hz column lies about the true rate
+BAD_DUR_EVERY = 23  # dur_ms off by +1500ms
+BAD_CODEC_EVERY = 29  # unknown codec string
+EMPTY_TRANSCRIPT_EVERY = 31
+NULL_TRANSCRIPT_EVERY = 37
+CORRUPT_BYTES_EVERY = 41  # truncated container
+
+
+def clip_index(clip_id: str) -> int:
+    return int(clip_id.rsplit("-", 1)[-1])
+
+
+def _rng(i: int, stream: int) -> float:
+    """Deterministic uniform [0,1) from (row index, stream id)."""
+    return hash_u64(i * 1_000_003 + stream) / 2**64
+
+
+def expected_pcm(i: int, sr_hz: int, n_samples: int) -> np.ndarray:
+    """The canonical waveform for row i: two sines + low-level deterministic
+    noise, amplitude well inside [-1, 1]."""
+    f1 = 100.0 + 150.0 * _rng(i, 1)  # 100-250 Hz
+    f2 = 300.0 + 500.0 * _rng(i, 2)  # 300-800 Hz
+    phase = 2.0 * math.pi * _rng(i, 3)
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    noise_seed = hash_u64(i * 31 + 7) & 0xFFFFFFFF
+    noise = np.random.RandomState(noise_seed).uniform(-0.01, 0.01, n_samples)
+    return (
+        0.45 * np.sin(2 * math.pi * f1 * t + phase)
+        + 0.25 * np.sin(2 * math.pi * f2 * t)
+        + noise
+    )
+
+
+def expected_transcript(i: int) -> str:
+    n_words = 3 + int(_rng(i, 4) * 10)
+    return " ".join(_VOCAB[hash_u64(i * 53 + w) % len(_VOCAB)] for w in range(n_words))
+
+
+def _make_row(i: int) -> tuple:
+    sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+    true_dur_ms = 200 + int(_rng(i, 5) * 800)  # 200-1000 ms
+    n_samples = int(round(sr * true_dur_ms / 1000.0))
+    pcm = expected_pcm(i, sr, n_samples)
+    blob = encode_wav_pcm16(pcm, sr)
+
+    sr_col = sr
+    dur_col = true_dur_ms
+    codec = "pcm_s16le"
+    transcript: str | None = expected_transcript(i)
+
+    if i > 0 and i % BAD_SR_EVERY == 0:
+        sr_col = 12345
+    if i > 0 and i % BAD_DUR_EVERY == 0:
+        dur_col = true_dur_ms + 1500
+    if i > 0 and i % BAD_CODEC_EVERY == 0:
+        codec = "mp3_unknown"
+    if i > 0 and i % EMPTY_TRANSCRIPT_EVERY == 0:
+        transcript = ""
+    if i > 0 and i % NULL_TRANSCRIPT_EVERY == 0:
+        transcript = None
+    if i > 0 and i % CORRUPT_BYTES_EVERY == 0:
+        blob = blob[: len(blob) // 3]
+
+    return (f"clip-{i:012d}", bytearray(blob), sr_col, dur_col, codec, transcript)
+
+
+def clips_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """Generate the clips fixture distributed: rows are built on executors
+    from a range (no driver-side list of audio blobs), so the same generator
+    scales from the 200-row pytest fixture to a multi-million-row bench input."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_row)
+    return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
+def allowed_codecs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("pcm_s16le",), ("flac",)], T.StructType([T.StructField("codec", T.StringType(), False)])
+    )

@@ -1,0 +1,257 @@
+"""Audio payload rules: Arrow-batched pandas UDFs over the binary ``bytes``
+column, registered into the rule-expression dialect so audio checks flow
+through the same fused check_data / filter_fails machinery as column rules
+(input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)" — batches
+cross the JVM↔Python boundary once per Arrow batch; inside a batch the
+container parse is numpy slicing, not Python loops over samples).
+
+Registered dialect functions (usable directly in rule exprs):
+
+    audio_valid(bytes)                     -> boolean
+    audio_n_samples(bytes)                 -> bigint  (NULL on bad container)
+    audio_sr(bytes)                        -> int     (header rate)
+    audio_dur_ms(bytes)                    -> double  (decoded duration)
+    audio_rms(bytes)                       -> double
+    audio_snr_vs_expected(clip_id, bytes)  -> double  (vs regenerated waveform)
+    transcript_matches_expected(clip_id, transcript) -> boolean
+
+Example ruleset (the input_hint invariants):
+
+    rule("audio_valid(bytes)")
+    rule("audio_sr(bytes) == sr_hz")
+    rule("abs(audio_dur_ms(bytes) - dur_ms) <= 2")
+    rule("audio_snr_vs_expected(clip_id, bytes) >= 30")
+    rule("transcript_matches_expected(clip_id, transcript)")
+    rule("nchar(trimws(transcript)) > 0")
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..expr import register_function
+from .wav import WavError, decode_wav, snr_db
+
+__all__ = ["register_audio_functions"]
+
+
+def _decode(blob) -> tuple[np.ndarray, int] | None:
+    if blob is None:
+        return None
+    try:
+        return decode_wav(bytes(blob))
+    except WavError:
+        return None
+
+
+def _audio_valid_impl(blobs: pd.Series) -> pd.Series:
+    return blobs.map(lambda b: _decode(b) is not None)
+
+
+def _audio_n_samples_impl(blobs: pd.Series) -> pd.Series:
+    def f(b):
+        d = _decode(b)
+        return None if d is None else len(d[0])
+
+    return blobs.map(f)
+
+
+def _audio_sr_impl(blobs: pd.Series) -> pd.Series:
+    def f(b):
+        d = _decode(b)
+        return None if d is None else d[1]
+
+    return blobs.map(f)
+
+
+def _audio_dur_ms_impl(blobs: pd.Series) -> pd.Series:
+    def f(b):
+        d = _decode(b)
+        if d is None or d[1] == 0:
+            return None
+        return len(d[0]) / d[1] * 1000.0
+
+    return blobs.map(f)
+
+
+def _audio_rms_impl(blobs: pd.Series) -> pd.Series:
+    def f(b):
+        d = _decode(b)
+        if d is None or len(d[0]) == 0:
+            return None
+        x = d[0].astype(np.float64) / 32768.0
+        return float(np.sqrt(np.mean(x * x)))
+
+    return blobs.map(f)
+
+
+def _audio_snr_vs_expected_impl(clip_ids: pd.Series, blobs: pd.Series) -> pd.Series:
+    # late import keeps fixtures optional on the hot path
+    from .fixtures import clip_index, expected_pcm
+
+    def f(cid, b):
+        d = _decode(b)
+        if d is None or cid is None:
+            return None
+        samples, sr = d
+        try:
+            i = clip_index(cid)
+        except (ValueError, IndexError):
+            return None
+        ref = expected_pcm(i, sr, len(samples))
+        return float(snr_db(ref, samples.astype(np.float64) / 32767.0))
+
+    return pd.Series([f(c, b) for c, b in zip(clip_ids, blobs)], dtype="float64")
+
+
+def _transcript_matches_expected_impl(clip_ids: pd.Series, transcripts: pd.Series) -> pd.Series:
+    from .fixtures import clip_index, expected_transcript
+
+    def f(cid, t):
+        if cid is None or t is None:
+            return None
+        try:
+            return expected_transcript(clip_index(cid)) == t
+        except (ValueError, IndexError):
+            return False
+
+    return pd.Series([f(c, t) for c, t in zip(clip_ids, transcripts)], dtype="object")
+
+
+# name -> (plain impl, return DDL type, arity); pandas_udf wrapping is lazy
+# because the DDL type string parse needs an active SparkSession
+_UDFS = {
+    "audio_valid": (_audio_valid_impl, "boolean", 1),
+    "audio_n_samples": (_audio_n_samples_impl, "bigint", 1),
+    "audio_sr": (_audio_sr_impl, "int", 1),
+    "audio_dur_ms": (_audio_dur_ms_impl, "double", 1),
+    "audio_rms": (_audio_rms_impl, "double", 1),
+    "audio_snr_vs_expected": (_audio_snr_vs_expected_impl, "double", 2),
+    "transcript_matches_expected": (_transcript_matches_expected_impl, "boolean", 2),
+}
+
+_udf_cache: dict[str, object] = {}
+
+
+def _get_udf(name: str):
+    if name not in _udf_cache:
+        impl, typ, _ = _UDFS[name]
+        _udf_cache[name] = pandas_udf(impl, typ)
+    return _udf_cache[name]
+
+_registered = False
+
+
+def register_audio_functions() -> None:
+    """Idempotently expose the audio UDFs to the rule-expression dialect."""
+    global _registered
+    if _registered:
+        return
+    for name, (_impl, _typ, arity) in _UDFS.items():
+
+        def make_builder(n, a):
+            def builder(ctx, nodes, cols: list[Column]) -> Column:
+                if len(cols) != a:
+                    raise ValueError(f"{n}() expects {a} argument(s), got {len(cols)}")
+                return _get_udf(n)(*cols)
+
+            return builder
+
+        register_function(name, make_builder(name, arity))
+    _registered = True
+
+
+register_audio_functions()
+
+
+# ---------------------------------------------------------------------------
+# Fused single-decode probe — the at-scale path.
+#
+# Each dialect UDF above decodes the blob independently, so a 5-audio-rule
+# check decodes every clip 5 times.  ``with_audio_features`` decodes ONCE per
+# clip in a single Arrow pass and emits plain columns; the audio rules then
+# become ordinary Catalyst predicates over those columns and fuse into the
+# same one-scan check_data aggregation as any other rule.
+# ---------------------------------------------------------------------------
+
+_PROBE_TYPE = (
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
+    "snr_db double, transcript_ok boolean"
+)
+
+
+def _audio_probe_impl(
+    clip_ids: pd.Series, blobs: pd.Series, transcripts: pd.Series
+) -> pd.DataFrame:
+    from .fixtures import clip_index, expected_pcm, expected_transcript
+
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok")}
+    for cid, blob, tr in zip(clip_ids, blobs, transcripts):
+        d = _decode(blob)
+        if d is None:
+            out["valid"].append(False)
+            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db"):
+                out[k].append(None)
+        else:
+            samples, sr = d
+            out["valid"].append(True)
+            out["n_samples"].append(len(samples))
+            out["sr"].append(sr)
+            out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
+            x = samples.astype(np.float64) / 32767.0
+            out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
+            snr = None
+            if cid is not None:
+                try:
+                    ref = expected_pcm(clip_index(cid), sr, len(samples))
+                    snr = float(snr_db(ref, x))
+                except (ValueError, IndexError):
+                    snr = None
+            out["snr_db"].append(snr)
+        if cid is None or tr is None:
+            out["transcript_ok"].append(None)
+        else:
+            try:
+                out["transcript_ok"].append(expected_transcript(clip_index(cid)) == tr)
+            except (ValueError, IndexError):
+                out["transcript_ok"].append(False)
+    return pd.DataFrame(out)
+
+
+def with_audio_features(
+    df,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    transcript_col: str = "transcript",
+    prefix: str = "audio_",
+):
+    """df + decoded audio feature columns (one decode per clip, one Arrow
+    batch round-trip).  Adds: {prefix}valid, {prefix}n_samples, {prefix}sr,
+    {prefix}dur_ms, {prefix}rms, {prefix}snr_db, {prefix}transcript_ok."""
+    if "audio_probe" not in _udf_cache:
+        _udf_cache["audio_probe"] = pandas_udf(_audio_probe_impl, _PROBE_TYPE)
+    probe = _udf_cache["audio_probe"]
+    struct = probe(F.col(clip_id_col), F.col(bytes_col), F.col(transcript_col))
+    out = df.withColumn("__audio_probe", struct)
+    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok"):
+        out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
+    return out.drop("__audio_probe")
+
+
+def audio_ruleset(require_snr_db: float = 30.0):
+    """The input_hint invariant ruleset over with_audio_features() columns —
+    plain column predicates, fully fusable."""
+    from ..rules import rule, ruleset
+
+    return ruleset(
+        rule("audio_valid", name="decodes"),
+        rule("audio_sr == sr_hz", name="sr_consistent"),
+        rule("abs(audio_dur_ms - dur_ms) <= 2", name="dur_consistent"),
+        rule(f"audio_snr_db >= {require_snr_db}", name="pcm_allclose_snr"),
+        rule("audio_transcript_ok", name="transcript_equal"),
+        rule("nchar(trimws(transcript)) > 0", name="transcript_nonempty"),
+    )

@@ -304,7 +304,9 @@ def _eval_reference(
             F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("p")
         ).collect()[0]["p"]
         return _result_row(r, tests, int(passed or 0), elapsed=_time.perf_counter() - t0)
-    except ValueError as exc:
+    except Exception as exc:
+        # missing local column, analysis errors, etc. — error row, never throw
+        # (R/check_data.R:301-315 contract applies to reference rules too)
         return _result_row(r, tests, 0, error=_strip_error(exc), elapsed=_time.perf_counter() - t0)
 
 

@@ -1,0 +1,129 @@
+"""Checkpointed per-partition lineage + metrics ledger (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+A validation run over a 10^12-row table is hours of work; a mid-run failure
+must not restart from zero and a retry must not double-count.  The ledger is
+an append-only parquet directory of per-(partition, rule) result rows keyed by
+``run_id`` + ``part_key``:
+
+  resume     = anti-join the pending partition list against completed ledger
+               entries (only unfinished partitions are re-scanned)
+  idempotent = each partition's rows are written atomically per partition
+               task batch; re-processing a completed partition overwrites the
+               same key, and readers dedupe on (run_id, part_key, name) taking
+               the latest commit_ts
+
+This is a batch ledger, deliberately NOT Structured Streaming: the source is
+a static Iceberg/Parquet table and the unit of recovery is a partition, not a
+micro-batch (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .check import check_data_by
+from .rules import Rule, Ruleset
+
+__all__ = ["ValidationLedger"]
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("part_key", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("expr", T.StringType(), False),
+        T.StructField("tests", T.LongType(), False),
+        T.StructField("pass", T.LongType(), False),
+        T.StructField("fail", T.LongType(), False),
+        T.StructField("commit_ts", T.DoubleType(), False),
+    ]
+)
+
+
+class ValidationLedger:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return None
+
+    def completed_partitions(self, run_id: str) -> DataFrame:
+        """Distinct part_keys with at least one committed rule row."""
+        led = self._read()
+        if led is None:
+            return self.spark.createDataFrame([], "part_key string")
+        return led.filter(F.col("run_id") == run_id).select("part_key").distinct()
+
+    def pending_partitions(self, df: DataFrame, part_col: str, run_id: str) -> DataFrame:
+        """All partition keys of df minus completed ones (left-anti join —
+        the resume primitive)."""
+        all_parts = df.select(F.col(part_col).cast("string").alias("part_key")).distinct()
+        return all_parts.join(self.completed_partitions(run_id), "part_key", "left_anti")
+
+    def run(
+        self,
+        df: DataFrame,
+        rules: Ruleset | Rule,
+        part_col: str,
+        run_id: str | None = None,
+    ) -> str:
+        """Validate only pending partitions; append their per-partition rows.
+
+        Safe to re-invoke with the same run_id after a crash: completed
+        partitions are skipped (anti-join), partially-written output is
+        re-keyed by a fresh commit_ts and deduped on read.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        pending = self.pending_partitions(df, part_col, run_id)
+        n_pending = pending.count()
+        if n_pending == 0:
+            return run_id
+        scoped = df.join(
+            pending.withColumnRenamed("part_key", "__pk"),
+            df[part_col].cast("string") == F.col("__pk"),
+            "left_semi",
+        )
+        summary = check_data_by(scoped, rules, by=part_col)
+        out = summary.select(
+            F.lit(run_id).alias("run_id"),
+            F.col(part_col).cast("string").alias("part_key"),
+            "name",
+            "expr",
+            "tests",
+            "pass",
+            "fail",
+            F.lit(time.time()).alias("commit_ts"),
+        )
+        out.write.mode("append").parquet(self.path)
+        return run_id
+
+    def results(self, run_id: str) -> DataFrame:
+        """Per-(partition, rule) rows, deduped to the latest commit."""
+        led = self._read()
+        if led is None:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        mine = led.filter(F.col("run_id") == run_id)
+        latest = mine.groupBy("part_key", "name").agg(F.max("commit_ts").alias("commit_ts"))
+        return mine.join(latest, ["part_key", "name", "commit_ts"], "left_semi")
+
+    def totals(self, run_id: str) -> DataFrame:
+        """Roll the ledger up to one row per rule (the check_data shape)."""
+        return (
+            self.results(run_id)
+            .groupBy("name", "expr")
+            .agg(
+                F.sum("tests").alias("tests"),
+                F.sum("pass").alias("pass"),
+                F.sum("fail").alias("fail"),
+            )
+        )

@@ -1,0 +1,97 @@
+"""Distribution-drift rules: per-partition histogram aggregation compared to
+a persisted baseline snapshot via PSI and a KS statistic (north_star:
+"distribution-drift via per-partition histogram + KS/PSI comparison against a
+baseline snapshot").
+
+Shape: ONE groupBy over (partition_key, bucket) — the histogram is built with
+``width_bucket``-style column math, so the shuffle carries only
+(partitions × bins) counts no matter how many rows.  The baseline snapshot is
+a tiny DataFrame persisted to parquet; comparison joins histogram-to-baseline
+on bucket and reduces per partition — all driver-light.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["histogram", "snapshot_baseline", "psi", "drift_check"]
+
+_EPS = 1e-6  # PSI smoothing for empty buckets
+
+
+def _bucket(col, lo: float, hi: float, bins: int):
+    width = (hi - lo) / bins
+    b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.when(col.isNull(), F.lit(-1)).otherwise(
+        F.when(b < 0, F.lit(0)).when(b >= bins, F.lit(bins - 1)).otherwise(b)
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    by: str | None = None,
+) -> DataFrame:
+    """(by?, bucket, cnt, frac) histogram; bucket -1 collects NULLs."""
+    keys = ([F.col(by)] if by else []) + [
+        _bucket(F.col(value_col), lo, hi, bins).alias("bucket")
+    ]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.groupBy(*([by] if by else [])).agg(F.sum("cnt").alias("__total"))
+    on = [by] if by else None
+    joined = counts.join(total, on=on) if by else counts.crossJoin(total)
+    return joined.select(
+        *([by] if by else []),
+        "bucket",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("__total")).alias("frac"),
+    )
+
+
+def snapshot_baseline(df: DataFrame, value_col: str, lo: float, hi: float, bins: int, path: str) -> None:
+    """Persist the reference distribution (tiny: ``bins`` rows)."""
+    histogram(df, value_col, lo, hi, bins).write.mode("overwrite").parquet(path)
+
+
+def psi(current: DataFrame, baseline: DataFrame, by: str | None = None) -> DataFrame:
+    """Population Stability Index per partition key (or one global row).
+
+    PSI = Σ_b (cur_b - base_b) * ln(cur_b / base_b); >0.2 is conventional
+    drift; smoothing avoids log(0) on empty buckets.
+    """
+    base = baseline.select(F.col("bucket").alias("bucket"), F.col("frac").alias("base_frac"))
+    cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
+    j = cur.join(base, "bucket", "full_outer").fillna(
+        {"cur_frac": 0.0, "base_frac": 0.0}
+    )
+    c = F.col("cur_frac") + _EPS
+    b = F.col("base_frac") + _EPS
+    term = (c - b) * F.log(c / b)
+    if by:
+        return j.groupBy(by).agg(F.sum(term).alias("psi"))
+    return j.agg(F.sum(term).alias("psi"))
+
+
+def drift_check(
+    df: DataFrame,
+    value_col: str,
+    baseline: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    by: str | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-partition drift summary row: psi + drifted flag — shaped like a
+    check_data result so it can union into the same reporting sink."""
+    cur = histogram(df, value_col, lo, hi, bins, by=by)
+    scores = psi(cur, baseline, by=by)
+    return scores.select(
+        *([by] if by else []),
+        F.round("psi", 6).alias("psi"),
+        (F.col("psi") > threshold).alias("drifted"),
+    )

@@ -1,0 +1,105 @@
+"""Multimodal binary-column plumbing: images / audio / video as opaque
+``binary`` columns with typed metadata, processed through ``mapInPandas``.
+
+The Spark-side machinery here is REAL and tested — schema contracts, Arrow
+batch iteration, partition-preserving transforms.  The media decoders
+themselves are STUBBED (``NotImplementedError`` or a deterministic fake):
+image/video codec libraries are not present in this environment; audio WAV is
+the one fully-real decoder (see ``dataverifyr_spark.audio``).  Swapping a
+stub for a real decoder changes only the inner function, not the plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["decode_image_stub", "extract_media_features", "MEDIA_FEATURE_SCHEMA"]
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("format_guess", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",  # wav/avi/webp container
+    b"GIF8": "gif",
+    b"\x00\x00\x00": "mp4?",
+}
+
+
+def _sniff(blob: bytes | None) -> str | None:
+    if not blob:
+        return None
+    for magic, name in _MAGIC.items():
+        if blob[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def decode_image_stub(blob: bytes, target_size: tuple[int, int] = (32, 32)) -> np.ndarray:
+    """STUB: real implementation needs an image codec (PIL/cv2, not in this
+    container).  Deterministic fake: hash-seeded pixels with the right shape
+    and dtype, so downstream shape/dtype contracts are fully exercised."""
+    if blob is None:
+        raise NotImplementedError("image decode requires a codec library")
+    seed = len(blob) % (2**31)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(*target_size, 3), dtype=np.uint8)
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    feature_dim: int = 8,
+) -> DataFrame:
+    """mapInPandas pipeline: binary column → per-item feature vector.
+
+    Partition-preserving (no shuffle); one Arrow batch in, one out.  The
+    feature extractor is the deterministic stub — byte-histogram moments —
+    standing in for a real embedding model.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, fmts, feats = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                if blob is None:
+                    sizes.append(None)
+                    fmts.append(None)
+                    feats.append(None)
+                    continue
+                b = bytes(blob)
+                sizes.append(len(b))
+                fmts.append(_sniff(b))
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # deterministic cheap "features": chunked byte means
+                chunks = np.array_split(arr, feature_dim) if len(arr) >= feature_dim else []
+                feats.append(
+                    [float(c.mean()) for c in chunks] if len(chunks) == feature_dim else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "n_bytes": pd.Series(sizes, dtype="object"),
+                    "format_guess": pd.Series(fmts, dtype="object"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        df[id_col].cast("string").alias(id_col), df[bytes_col].alias(bytes_col)
+    )
+    return src.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)

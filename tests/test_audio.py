@@ -1,0 +1,156 @@
+"""Audio payload: WAV codec round-trip, per-row invariants (SNR≥30dB +
+transcript equality per BASELINE.json input_hint), and audio rules flowing
+through check_data / filter_fails."""
+
+import numpy as np
+import pytest
+
+import dataverifyr_spark as dv
+import dataverifyr_spark.audio  # noqa: F401 — registers audio dialect functions
+from dataverifyr_spark.audio.fixtures import (
+    BAD_CODEC_EVERY,
+    BAD_DUR_EVERY,
+    BAD_SR_EVERY,
+    CORRUPT_BYTES_EVERY,
+    allowed_codecs,
+    clip_index,
+    clips_table,
+    expected_pcm,
+    expected_transcript,
+)
+from dataverifyr_spark.audio.wav import WavError, decode_wav, encode_wav_pcm16, snr_db
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return clips_table(spark, N).cache()
+
+
+class TestWavCodec:
+    def test_round_trip_snr(self):
+        # the reference invariant: decode(encode(pcm)) allclose, SNR >= 30dB
+        pcm = expected_pcm(7, 16000, 8000)
+        dec, sr = decode_wav(encode_wav_pcm16(pcm, 16000))
+        assert sr == 16000
+        assert len(dec) == 8000
+        s = snr_db(pcm, dec.astype(np.float64) / 32767.0)
+        assert s >= 30.0  # int16 quantization actually gives ~60-90dB
+        np.testing.assert_allclose(dec / 32767.0, pcm, atol=1.5 / 32767.0)
+
+    def test_malformed_rejected(self):
+        with pytest.raises(WavError):
+            decode_wav(b"not a wav")
+        good = encode_wav_pcm16(expected_pcm(1, 8000, 800), 8000)
+        with pytest.raises(WavError):
+            decode_wav(good[: len(good) // 3])
+
+    def test_deterministic_fixture(self):
+        a = expected_pcm(3, 8000, 1000)
+        b = expected_pcm(3, 8000, 1000)
+        np.testing.assert_array_equal(a, b)
+        assert expected_transcript(11) == expected_transcript(11)
+
+
+class TestClipsInvariants:
+    def test_per_row_invariant_snr_and_transcript(self, spark, clips):
+        """Every non-corrupted row decodes to the regenerated waveform with
+        SNR>=30dB, and every non-injected transcript matches the generator."""
+        res = dv.check_data(
+            clips,
+            dv.ruleset(
+                dv.rule("audio_snr_vs_expected(clip_id, bytes) >= 30", name="snr"),
+                dv.rule("transcript_matches_expected(clip_id, transcript)", name="tr"),
+            ),
+        ).collect()
+        snr_row, tr_row = res[0], res[1]
+        n_corrupt = len([i for i in range(1, N) if i % CORRUPT_BYTES_EVERY == 0])
+        assert snr_row["tests"] == N
+        assert snr_row["fail"] == n_corrupt  # only corrupted blobs fail SNR
+        n_bad_tr = len(
+            [i for i in range(1, N) if i % 31 == 0 or i % 37 == 0]
+        )
+        assert tr_row["fail"] == n_bad_tr
+
+    def test_audio_rule_goldens(self, spark, clips):
+        rules = dv.ruleset(
+            dv.rule("audio_valid(bytes)", name="valid"),
+            dv.rule("audio_sr(bytes) == sr_hz", name="sr_consistent"),
+            dv.rule("abs(audio_dur_ms(bytes) - dur_ms) <= 2", name="dur_consistent"),
+            dv.rule("sr_hz %in% c(8000, 16000, 44100, 48000)", name="sr_allowed"),
+        )
+        rows = {r["name"]: r for r in dv.check_data(clips, rules).collect()}
+        bad = lambda k: len([i for i in range(1, N) if i % k == 0])
+        corrupt = bad(CORRUPT_BYTES_EVERY)
+        assert rows["valid"]["fail"] == corrupt
+        # sr mismatch: lying sr column OR undecodable blob
+        sr_bad = len(
+            [i for i in range(1, N) if i % BAD_SR_EVERY == 0 or i % CORRUPT_BYTES_EVERY == 0]
+        )
+        assert rows["sr_consistent"]["fail"] == sr_bad
+        dur_bad = len(
+            [i for i in range(1, N) if i % BAD_DUR_EVERY == 0 or i % CORRUPT_BYTES_EVERY == 0]
+        )
+        assert rows["dur_consistent"]["fail"] == dur_bad
+        assert rows["sr_allowed"]["fail"] == bad(BAD_SR_EVERY)
+
+    def test_codec_reference_rule(self, spark, clips):
+        rs = dv.ruleset(dv.reference_rule("codec", "codecs", "codec", name="codec_ok"))
+        res = dv.check_data({"clips": clips, "codecs": allowed_codecs(spark)}, rs).collect()[0]
+        assert res["fail"] == len([i for i in range(1, N) if i % BAD_CODEC_EVERY == 0])
+
+    def test_violations_extractable(self, spark, clips):
+        rules = dv.ruleset(dv.rule("audio_valid(bytes)", name="valid"))
+        bad_rows = dv.filter_fails(rules, clips)
+        ids = sorted(clip_index(r["clip_id"]) for r in bad_rows.collect())
+        assert ids == [i for i in range(1, N) if i % CORRUPT_BYTES_EVERY == 0]
+
+    def test_transcript_nonempty_rule(self, spark, clips):
+        row = dv.check_data(
+            clips, dv.rule("nchar(trimws(transcript)) > 0", name="nonempty")
+        ).collect()[0]
+        n_bad = len([i for i in range(1, N) if i % 31 == 0 or i % 37 == 0])
+        assert row["fail"] == n_bad
+
+
+class TestFusedProbe:
+    def test_probe_matches_multi_udf_path(self, spark, clips):
+        """with_audio_features + audio_ruleset gives the same pass/fail as the
+        per-function UDF rules — one decode instead of five."""
+        from dataverifyr_spark.audio import audio_ruleset, with_audio_features
+
+        enriched = with_audio_features(clips)
+        fused = {r["name"]: r for r in dv.check_data(enriched, audio_ruleset()).collect()}
+
+        multi = {
+            r["name"]: r
+            for r in dv.check_data(
+                clips,
+                dv.ruleset(
+                    dv.rule("audio_valid(bytes)", name="decodes"),
+                    dv.rule("audio_sr(bytes) == sr_hz", name="sr_consistent"),
+                    dv.rule("abs(audio_dur_ms(bytes) - dur_ms) <= 2", name="dur_consistent"),
+                    dv.rule("audio_snr_vs_expected(clip_id, bytes) >= 30", name="pcm_allclose_snr"),
+                    dv.rule(
+                        "transcript_matches_expected(clip_id, transcript)", name="transcript_equal"
+                    ),
+                    dv.rule("nchar(trimws(transcript)) > 0", name="transcript_nonempty"),
+                ),
+            ).collect()
+        }
+        for name in fused:
+            assert (fused[name]["pass"], fused[name]["fail"]) == (
+                multi[name]["pass"],
+                multi[name]["fail"],
+            ), name
+
+    def test_violations_on_probe_columns(self, spark, clips):
+        from dataverifyr_spark.audio import audio_ruleset, with_audio_features
+
+        enriched = with_audio_features(clips).cache()
+        bad = dv.filter_fails(audio_ruleset(), enriched, tag=True)
+        by_rule = {r["failed_rule"]: r["count"] for r in bad.groupBy("failed_rule").count().collect()}
+        assert by_rule.get("audio_valid", 0) == len(
+            [i for i in range(1, N) if i % CORRUPT_BYTES_EVERY == 0]
+        )

@@ -1,0 +1,103 @@
+"""North-rule scale features: drift detection, resumable ledger, multimodal
+plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataverifyr_spark import rule, ruleset
+from dataverifyr_spark.ledger import ValidationLedger
+from dataverifyr_spark.operators.drift import drift_check, histogram, psi
+from dataverifyr_spark.operators.multimodal import extract_media_features
+
+
+class TestDrift:
+    @pytest.fixture(scope="class")
+    def base(self, spark):
+        return spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+
+    def test_histogram_fractions_sum_to_one(self, spark, base):
+        h = histogram(base, "v", 0.0, 100.0, bins=10)
+        total = h.agg(F.sum("frac")).collect()[0][0]
+        assert total == pytest.approx(1.0)
+        assert h.count() == 10
+
+    def test_no_drift_on_same_distribution(self, spark, base):
+        b = histogram(base, "v", 0.0, 100.0, bins=10)
+        out = drift_check(base, "v", b, 0.0, 100.0, bins=10).collect()[0]
+        assert out["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert out["drifted"] is False
+
+    def test_shifted_distribution_drifts(self, spark, base):
+        b = histogram(base, "v", 0.0, 100.0, bins=10)
+        shifted = spark.range(0, 10000).select(
+            ((F.col("id") % 100) * 0.3 + 70).cast("double").alias("v")
+        )
+        out = drift_check(shifted, "v", b, 0.0, 100.0, bins=10).collect()[0]
+        assert out["psi"] > 0.2 and out["drifted"] is True
+
+    def test_per_partition_drift(self, spark, base):
+        df = spark.range(0, 10000).select(
+            (F.col("id") % 4).alias("pk"),
+            F.when(F.col("id") % 4 == 0, (F.col("id") % 100) * 0.2 + 80)
+            .otherwise(F.col("id") % 100)
+            .cast("double")
+            .alias("v"),
+        )
+        b = histogram(base, "v", 0.0, 100.0, bins=10)
+        rows = {r["pk"]: r for r in drift_check(df, "v", b, 0.0, 100.0, bins=10, by="pk").collect()}
+        assert rows[0]["drifted"] is True
+        assert rows[1]["drifted"] is False
+
+
+class TestLedger:
+    def test_resume_skips_completed_partitions(self, spark, tmp_path):
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 10).alias("pk"), (F.col("id") % 7).cast("double").alias("x")
+        )
+        led = ValidationLedger(spark, str(tmp_path / "ledger"))
+        rs = ruleset(rule("x >= 0", name="nonneg"), rule("x < 6", name="lt6"))
+
+        run_id = led.run(df, rs, "pk", run_id="r1")
+        assert run_id == "r1"
+        assert led.pending_partitions(df, "pk", "r1").count() == 0
+
+        # re-run: nothing pending, no double counting
+        led.run(df, rs, "pk", run_id="r1")
+        totals = {r["name"]: r for r in led.totals("r1").collect()}
+        assert totals["nonneg"]["tests"] == 1000
+        assert totals["nonneg"]["fail"] == 0
+        assert totals["lt6"]["fail"] == df.filter("x >= 6").count()
+
+    def test_partial_then_resume(self, spark, tmp_path):
+        full = spark.range(0, 1000).select(
+            (F.col("id") % 10).alias("pk"), F.col("id").cast("double").alias("x")
+        )
+        half = full.filter(F.col("pk") < 5)
+        led = ValidationLedger(spark, str(tmp_path / "ledger2"))
+        rs = ruleset(rule("x >= 0", name="nonneg"))
+
+        led.run(half, rs, "pk", run_id="r2")  # simulated partial run
+        assert led.pending_partitions(full, "pk", "r2").count() == 5
+        led.run(full, rs, "pk", run_id="r2")  # resume
+        assert led.pending_partitions(full, "pk", "r2").count() == 0
+        totals = led.totals("r2").collect()[0]
+        assert totals["tests"] == 1000  # no double count of first half
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        rows = [("m1", bytes(range(64))), ("m2", b"\x89PNG" + bytes(60)), ("m3", None)]
+        df = spark.createDataFrame(rows, "media_id string, bytes binary")
+        out = {r["media_id"]: r for r in extract_media_features(df, feature_dim=8).collect()}
+        assert out["m1"]["n_bytes"] == 64
+        assert len(out["m1"]["feature"]) == 8
+        assert out["m2"]["format_guess"] == "png"
+        assert out["m3"]["n_bytes"] is None and out["m3"]["feature"] is None
+
+    def test_image_stub_raises_on_none(self):
+        from dataverifyr_spark.operators.multimodal import decode_image_stub
+
+        with pytest.raises(NotImplementedError):
+            decode_image_stub(None)
+        img = decode_image_stub(b"x" * 100)
+        assert img.shape == (32, 32, 3)
