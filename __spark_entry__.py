@@ -182,6 +182,44 @@ def q_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift: PSI of l_extendedprice (full table) vs a baseline
+    snapshot (returnflag='A' slice) over a 20-bin histogram."""
+    from dataverifyr_spark.operators.drift import drift_check, histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    baseline = histogram(li.filter("l_returnflag = 'A'"), "l_extendedprice", 0.0, 110000.0, 20)
+    return drift_check(li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20, threshold=0.2)
+
+
+def q_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidate pairs above a cosine threshold (brute
+    force baseline path; the LSH-bucketed scale path is pytest-covered)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.45)
+    )
+
+
+def q_check_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rules = dv.ruleset(
+        dv.rule("value > 0", name="e1"),
+        dv.rule("value <= 400", name="e2"),
+    )
+    return check_data_by(ev, rules, by="event_type")
+
+
 def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graft flagship: validate a deterministic audio clip + transcript
     table (input_hint schema) — decode, SNR-vs-regenerated-waveform allclose,
@@ -208,6 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
+        "drift_psi_lineitem": q_drift_psi_lineitem,
+        "near_dup_pairs_embeddings": q_near_dup_pairs_embeddings,
+        "check_by_event_type": q_check_by_event_type,
         "audio_validate_clips": q_audio_validate_clips,
     }
 
@@ -371,9 +412,63 @@ def oracle_sql() -> dict[str, str]:
     LIMIT 10
     """
 
+    # drift PSI — replicate drift.py's bucket/psi math exactly:
+    # bucket = clamp(floor((v-lo)/width)), NULL→-1; psi term uses frac+eps
+    drift = """
+    WITH cur AS (
+      SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+                  ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5500.0) AS INT), 0), 19) END AS bucket,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ), curf AS (
+      SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM cur) AS cur_frac FROM cur
+    ), base AS (
+      SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+                  ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5500.0) AS INT), 0), 19) END AS bucket,
+             COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), basef AS (
+      SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM base) AS base_frac FROM base
+    ), j AS (
+      SELECT COALESCE(curf.cur_frac, 0.0) AS cf, COALESCE(basef.base_frac, 0.0) AS bf
+      FROM curf FULL OUTER JOIN basef USING (bucket)
+    )
+    SELECT ROUND(SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))), 6) AS psi,
+           SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))) > 0.2 AS drifted
+    FROM j
+    """
+
+    near_dup = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+    """
+
+    check_by_event = """
+    SELECT event_type, 'e1' AS name, 'value > 0' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'e2' AS name, 'value <= 400' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN value <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN value <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM events GROUP BY event_type
+    """
+
     return {
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
+        "drift_psi_lineitem": drift,
+        "near_dup_pairs_embeddings": near_dup,
+        "check_by_event_type": check_by_event,
         "violations_customer": violations,
         "reference_orders_customer": reference,
         "describe_customer": describe,

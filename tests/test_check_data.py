@@ -137,3 +137,22 @@ class TestCheckDataBy:
         total_pass = sum(v[1] for (g, e), v in rows.items() if e == "mpg > 20")
         flat = _rows(check_data(cars_df, rule("mpg > 20")))[0]
         assert total_pass == flat["pass"]
+
+
+class TestYamlPathConvenience:
+    # test-check_data.R:209-228: a path as `rules` loads the YAML ruleset
+    def test_yaml_path_equivalence(self, spark, cars_df, tmp_path):
+        from dataverifyr_spark import write_rules
+
+        rs = ruleset(rule("disp > 100", allow_na=True), rule("cyl %in% c(4, 6, 8)"))
+        p = str(tmp_path / "rules.yaml")
+        write_rules(rs, p)
+        direct = _rows(check_data(cars_df, rs))
+        via_path = _rows(check_data(cars_df, p))
+        for a, b in zip(direct, via_path):
+            assert (a["expr"], a["tests"], a["pass"], a["fail"]) == (
+                b["expr"],
+                b["tests"],
+                b["pass"],
+                b["fail"],
+            )
