@@ -23,15 +23,18 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
     """ref: an Iceberg catalog table name ('cat.db.tbl'), an Iceberg table
     path, or a parquet path/directory."""
     if not ref.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
-        # catalog table name
+        # catalog table name (Iceberg/HMS)
         try:
             return spark.read.table(ref)
         except Exception:
             pass
-    try:
         return spark.read.format("iceberg").load(ref)
-    except Exception:
+    # filesystem ref: parquet first (the common sandbox case — avoids a noisy
+    # iceberg-jar-missing stack in the logs), iceberg table dir as fallback
+    try:
         return spark.read.parquet(ref)
+    except Exception:
+        return spark.read.format("iceberg").load(ref)
 
 
 def write_violations(
