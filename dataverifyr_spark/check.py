@@ -277,7 +277,11 @@ def _reference_ok_column(
     if r.ref_col not in ref.columns:
         raise ValueError(f"reference column '{r.ref_col}' not in dataset '{r.ref_dataset}'")
     ref_vals = ref.select(F.col(r.ref_col).alias("__ref_val")).distinct()
-    joined = df.join(ref_vals, df[r.local_col] == F.col("__ref_val"), "left")
+    # project df to the local column ONLY before joining: membership counting
+    # needs nothing else, and at 10^12 rows a sort-merge join must not shuffle
+    # the full payload (audio bytes!) just to count matches
+    local = df.select(F.col(r.local_col))
+    joined = local.join(ref_vals, local[r.local_col] == F.col("__ref_val"), "left")
     ok = F.col("__ref_val").isNotNull()
     if r.negate:
         ok = ~ok

@@ -124,6 +124,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?L?)
   | (?P<str>'([^'\\]|\\.)*'|"([^"\\]|\\.)*")
   | (?P<inop>%in%)
+  | (?P<modop>%%)
   | (?P<name>[A-Za-z_.][A-Za-z0-9_.]*)
   | (?P<op><=|>=|==|!=|&&|\|\||[-+*/^<>!&|($),$]|\$|\))
     """,
@@ -153,6 +154,8 @@ def _tokenize(s: str) -> list[_Tok]:
         text = m.group()
         if kind == "inop":
             toks.append(_Tok("in", text))
+        elif kind == "modop":
+            toks.append(_Tok("op", "%%"))
         elif kind == "name":
             toks.append(_Tok("name", text))
         elif kind == "num":
@@ -249,10 +252,16 @@ class _Parser:
         return node
 
     def p_in(self) -> Node:
+        # %in% and %% share R's %any% precedence slot
         node = self.p_unary()
-        while self.peek() is not None and self.peek().kind == "in":
-            self.next()
-            node = InSet(node, self.p_unary())
+        while self.peek() is not None and (
+            self.peek().kind == "in" or (self.peek().kind == "op" and self.peek().text == "%%")
+        ):
+            t = self.next()
+            if t.kind == "in":
+                node = InSet(node, self.p_unary())
+            else:
+                node = Binary("%%", node, self.p_unary())
         return node
 
     def p_unary(self) -> Node:
@@ -531,6 +540,10 @@ class _Compiler:
                 return lhs / rhs
             if op == "^":
                 return lhs**rhs
+            if op == "%%":
+                # R %% result carries the divisor's sign — Spark pmod matches
+                # for positive divisors (the practical rule-writing case)
+                return F.pmod(lhs, rhs)
             raise ExprError(f"unsupported operator {op!r}")
         if isinstance(node, Call):
             if node.func == "c":

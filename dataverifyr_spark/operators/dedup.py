@@ -101,12 +101,19 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Band the signatures and self-join on band buckets → candidate pairs.
 
     Rows with ANY identical band collide; output is distinct (id_a < id_b)
     pairs.  The join key is (band_index, hash(band slice)) so the shuffle key
     space is wide even when one band value is hot.
+
+    ``max_bucket_size`` guards the quadratic blowup: a bucket of B members
+    yields B²/2 pairs, so one hot bucket (boilerplate/empty documents) can
+    dominate the whole job at 10^12 scale.  Buckets above the cap are dropped
+    from the pair join — such clusters are better handled by exact dedup on
+    the full band fingerprint (they are near-identical by construction).
     """
     sig = F.col("signature")
     rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
@@ -130,6 +137,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        banded = (
+            banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

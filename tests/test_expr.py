@@ -101,3 +101,15 @@ class TestCompile:
             compile_expr("x >")
         with pytest.raises(ExprError):
             compile_expr("x ?? y")
+
+
+class TestModulo:
+    def test_modulo(self, spark):
+        df = spark.createDataFrame([(7,), (8,), (None,)], "x int")
+        from dataverifyr_spark.expr import compile_expr
+
+        vals = [r["v"] for r in df.select(compile_expr("x %% 2 == 0").column.alias("v")).collect()]
+        assert vals == [False, True, None]
+
+    def test_symbols_through_modulo(self):
+        assert get_symbols("a %% b == 0") == ["a", "b"]

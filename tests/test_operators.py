@@ -154,3 +154,16 @@ class TestUniqueness:
         row = uniqueness_check(df, "k").collect()[0]
         assert (row["total_rows"], row["distinct_keys"], row["duplicate_rows"]) == (3, 2, 1)
         assert row["is_unique"] is False
+
+
+class TestLSHBucketCap:
+    def test_hot_buckets_dropped(self, spark):
+        # 30 identical docs = one hot bucket of 30 -> 435 pairs without the cap
+        rows = [(i, "same words repeated here for everyone in this cluster") for i in range(30)]
+        rows += [(100, "another unique doc entirely different content here now")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        sigs = minhash_signatures(df, num_hashes=16)
+        uncapped = lsh_candidate_pairs(sigs, num_bands=4, max_bucket_size=None)
+        capped = lsh_candidate_pairs(sigs, num_bands=4, max_bucket_size=10)
+        assert uncapped.count() == 30 * 29 // 2
+        assert capped.count() == 0  # the hot cluster is excluded from pair-gen
