@@ -122,3 +122,48 @@ def lsh_topk(
     return brute_force_topk(
         bucketed.filter(F.col("bucket") == qbucket), query_vec, k, vec_col, id_col
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs at scale: random-hyperplane
+    LSH bucketing → within-bucket self-join → exact cosine verify.
+
+    Near-identical vectors share all sign bits with high probability, so the
+    join touches only same-bucket pairs (expected bucket size N/2^bits) —
+    never the O(N²) cross join.  Recall for a target cosine c is roughly
+    (1 - arccos(c)/π)^bits; lower ``bits`` for higher recall.  The bucket-size
+    cap bounds the quadratic cost of degenerate clusters (e.g. all-zero
+    embeddings) exactly like the MinHash-LSH path.
+    """
+    bucketed = hyperplane_lsh_buckets(df, dim, bits, vec_col, seed).select(
+        id_col, vec_col, "bucket"
+    )
+    if max_bucket_size is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        bucketed = bucketed.join(
+            sizes.filter(F.col("__bsz") <= max_bucket_size), "bucket"
+        ).drop("__bsz")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

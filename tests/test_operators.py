@@ -167,3 +167,46 @@ class TestLSHBucketCap:
         capped = lsh_candidate_pairs(sigs, num_bands=4, max_bucket_size=10)
         assert uncapped.count() == 30 * 29 // 2
         assert capped.count() == 0  # the hot cluster is excluded from pair-gen
+
+
+class TestConnectedComponents:
+    def test_components(self, spark):
+        from dataverifyr_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "id_a bigint, id_b bigint"
+        )
+        comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        # {1,2,3,8,9} one component (min id 1), {5,6} another
+        assert comps[1] == comps[2] == comps[3] == comps[8] == comps[9] == 1
+        assert comps[5] == comps[6] == 5
+
+    def test_near_dup_groups_end_to_end(self, spark, docs):
+        from dataverifyr_spark.operators.components import near_dup_groups
+
+        out = {r["doc_id"]: r for r in near_dup_groups(
+            docs, num_hashes=32, num_bands=16, jaccard_threshold=0.5
+        ).collect()}
+        # docs 1, 2 (exact dup) and 3 (near dup) share a component; 1 kept
+        assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+        assert out[1]["is_kept"] is True
+        assert out[2]["is_kept"] is False and out[3]["is_kept"] is False
+        assert out[4]["is_kept"] is True and out[5]["is_kept"] is True
+
+
+class TestEmbeddingNearDup:
+    def test_near_identical_vectors_found(self, spark):
+        from dataverifyr_spark.operators.similarity import embedding_near_dup_pairs
+
+        import math
+        rows = []
+        for i in range(40):
+            vec = [math.sin(i * 0.9 + d) for d in range(8)]
+            rows.append((i, vec))
+        # vec 100 = tiny perturbation of vec 3 -> cosine ~1
+        rows.append((100, [math.sin(3 * 0.9 + d) + 1e-4 for d in range(8)]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+                 for r in embedding_near_dup_pairs(df, dim=8, threshold=0.999, bits=4).collect()}
+        assert (3, 100) in pairs
+        assert pairs[(3, 100)] > 0.999
