@@ -220,6 +220,31 @@ def q_check_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_data_by(ev, rules, by="event_type")
 
 
+def q_most_frequent_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()'s top-k most_frequent formatting on the two low-cardinality
+    customer columns ("v (c), v2 (c2), v3 (c3)", R/describe.R:75-93)."""
+    cust = _t(spark, sf_dir, "customer")
+    d = dv.describe(cust.select("c_nationkey", "c_mktsegment"), top_n=3)
+    return d.select("var", "most_frequent")
+
+
+def q_near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→Jaccard→connected-components dedup groups (rows-only
+    check: distributed CC is not reasonably SQL-expressible)."""
+    from dataverifyr_spark.operators.components import near_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_groups(docs, num_hashes=32, num_bands=8, jaccard_threshold=0.7)
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: xxhash64 not in DuckDB)."""
+    from dataverifyr_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs.select("doc_id", "text"), bits=16).select("doc_id", "simhash")
+
+
 def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graft flagship: validate a deterministic audio clip + transcript
     table (input_hint schema) — decode, SNR-vs-regenerated-waveform allclose,
@@ -249,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lineitem": q_drift_psi_lineitem,
         "near_dup_pairs_embeddings": q_near_dup_pairs_embeddings,
         "check_by_event_type": q_check_by_event_type,
+        "most_frequent_customer": q_most_frequent_customer,
+        "near_dup_groups_documents": q_near_dup_groups_documents,
+        "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
     }
 
@@ -463,9 +491,26 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY event_type
     """
 
+    # most_frequent: replicate describe's top-k formatter — order by count
+    # desc then value asc, take 3, "v (c)" joined with ", "
+    most_frequent = """
+    WITH ranked AS (
+      SELECT 'c_nationkey' AS var, CAST(c_nationkey AS VARCHAR) AS v, COUNT(*) AS c,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+      FROM customer GROUP BY c_nationkey
+      UNION ALL
+      SELECT 'c_mktsegment' AS var, c_mktsegment AS v, COUNT(*) AS c,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT var, string_agg(v || ' (' || c || ')', ', ' ORDER BY rn) AS most_frequent
+    FROM ranked WHERE rn <= 3 GROUP BY var
+    """
+
     return {
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
+        "most_frequent_customer": most_frequent,
         "drift_psi_lineitem": drift,
         "near_dup_pairs_embeddings": near_dup,
         "check_by_event_type": check_by_event,
