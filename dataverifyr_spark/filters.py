@@ -11,6 +11,14 @@ Spark three-valued logic makes the anti-guard exact: ``FALSE AND NULL`` is
 FALSE, so a NULL-symbol row yields guarded=FALSE ⇒ fail=TRUE, matching the R
 goldens (tests/testthat/test-filters.R:22-32).
 
+Known reference-faithful subtlety: for multi-column expressions without
+allow_na, the anti-guard can mark rows as violations that check_data counted
+as passes — e.g. ``!(a > 0 & b < 4)`` on (a=NULL, b=5) evaluates TRUE (NULL &
+FALSE = FALSE, negated), yet ``!is.na(a)`` fails the guard.  The reference
+has the same property (its equality tests only use single-column rules);
+filter_fails is therefore a SUPERSET of counted fails in that corner — see
+tests/test_invariants.py.
+
 Scale design: the combined (non-per-rule) mode is a SINGLE scan — per-rule
 fail flags are assembled into an array of rule tags, NULL-filtered and
 exploded, reproducing the reference's rbind-with-duplicates multiset
