@@ -231,10 +231,14 @@ class _Parser:
         return self.p_cmp()
 
     def p_cmp(self) -> Node:
+        # R comparisons are left-associative (`1 < 2 < 3` is `(1 < 2) < 3`),
+        # and a unary `!` is legal as the right operand (`a < !b` — the only
+        # valid parse since `!` alone binds looser): both fuzz-discovered.
         node = self.p_add()
-        if self.at_op("<", ">", "<=", ">=", "==", "!="):
+        while self.at_op("<", ">", "<=", ">=", "==", "!="):
             op = self.next().text
-            node = Binary(op, node, self.p_add())
+            rhs = self.p_not() if self.at_op("!") else self.p_add()
+            node = Binary(op, node, rhs)
         return node
 
     def p_add(self) -> Node:
@@ -323,6 +327,11 @@ class _Parser:
             node = self.p_or()
             self.expect_op(")")
             return node
+        if t.kind == "op" and t.text == "!":
+            # `!` in operand position (`a + !b`, `x == !y`): legal R — the
+            # unary consumes the remainder at its own (low) precedence, so
+            # `a + !b + c` is `a + (!(b + c))`, matching R's grammar
+            return Unary("!", self.p_not())
         raise ExprError(f"unexpected token {t.text!r} in {self.src!r}")
 
 
