@@ -143,14 +143,9 @@ def _get_udf(name: str):
         _udf_cache[name] = pandas_udf(impl, typ)
     return _udf_cache[name]
 
-_registered = False
-
-
 def register_audio_functions() -> None:
-    """Idempotently expose the audio UDFs to the rule-expression dialect."""
-    global _registered
-    if _registered:
-        return
+    """(Re-)expose every _UDFS entry to the rule-expression dialect;
+    idempotent — register_function overwrites."""
     for name, (_impl, _typ, arity) in _UDFS.items():
 
         def make_builder(n, a):
@@ -162,7 +157,6 @@ def register_audio_functions() -> None:
             return builder
 
         register_function(name, make_builder(name, arity))
-    _registered = True
 
 
 register_audio_functions()
@@ -255,3 +249,31 @@ def audio_ruleset(require_snr_db: float = 30.0):
         rule("audio_transcript_ok", name="transcript_equal"),
         rule("nchar(trimws(transcript)) > 0", name="transcript_nonempty"),
     )
+
+
+def _audio_silence_ratio_impl(blobs: pd.Series) -> pd.Series:
+    """Fraction of 20ms frames whose RMS is below 1% full scale — a cheap
+    quality signal (dead air, truncated recordings).  Frame analysis is the
+    audio analog of video frame-sampling: windowed numpy, no Python loop
+    over samples."""
+
+    def f(b):
+        d = _decode(b)
+        if d is None:
+            return None
+        samples, sr = d
+        frame = max(int(sr * 0.02), 1)
+        n = (len(samples) // frame) * frame
+        if n == 0:
+            return 1.0
+        x = (samples[:n].astype(np.float64) / 32767.0).reshape(-1, frame)
+        rms = np.sqrt((x * x).mean(axis=1))
+        return float((rms < 0.01).mean())
+
+    return blobs.map(f)
+
+
+_UDFS["audio_silence_ratio"] = (_audio_silence_ratio_impl, "double", 1)
+
+# re-register: the silence-ratio entry was added after the import-time call
+register_audio_functions()

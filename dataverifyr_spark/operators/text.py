@@ -30,17 +30,22 @@ def _tokens(text: Column) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text", bpe: bool = False) -> DataFrame:
-    """Per-document token counts: whitespace tokens plus a BPE-ish estimate
-    (word-piece regex: runs of letters / digits / single punctuation)."""
+    """Per-document token counts: whitespace tokens plus a BPE-ish estimate.
+
+    The BPE proxy counts word-piece chunks — runs of up to 4 letters, up to 4
+    digits, or single punctuation — which tracks real BPE token counts on
+    English text (BPE averages ~4 chars/token) while staying a pure
+    ``regexp_count`` (JVM, one pass, no tokenizer model)."""
     text = F.col(text_col)
     toks = _tokens(text)
     out = df.withColumn("n_tokens", F.size(toks)).withColumn(
         "n_chars", F.length(text)
     )
     if bpe:
-        # split on every letter/digit boundary transition: cheap subword proxy
-        pieces = F.split(F.regexp_replace(text, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"), "")
-        out = out.withColumn("n_bpe_pieces", F.size(F.filter(pieces, lambda p: F.trim(p) != "")))
+        out = out.withColumn(
+            "n_bpe_pieces",
+            F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,4}|[^A-Za-z0-9\s]")).cast("int"),
+        )
     return out
 
 

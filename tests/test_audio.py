@@ -154,3 +154,32 @@ class TestFusedProbe:
         assert by_rule.get("audio_valid", 0) == len(
             [i for i in range(1, N) if i % CORRUPT_BYTES_EVERY == 0]
         )
+
+
+class TestSilenceRatio:
+    def test_silence_ratio_rule(self, spark):
+        import numpy as np
+        from dataverifyr_spark.audio.wav import encode_wav_pcm16
+
+        sr = 16000
+        loud = np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 0.5
+        half_silent = loud.copy()
+        half_silent[sr // 2:] = 0.0
+        rows = [
+            ("a", bytearray(encode_wav_pcm16(loud, sr))),
+            ("b", bytearray(encode_wav_pcm16(half_silent, sr))),
+            ("c", bytearray(encode_wav_pcm16(np.zeros(sr), sr))),
+        ]
+        df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+        res = {r["clip_id"]: r["sil"] for r in df.select(
+            "clip_id",
+            __import__("dataverifyr_spark.audio.rules", fromlist=["_get_udf"])._get_udf(
+                "audio_silence_ratio"
+            )("bytes").alias("sil"),
+        ).collect()}
+        assert res["a"] < 0.05
+        assert 0.4 < res["b"] < 0.6
+        assert res["c"] == 1.0
+        # and through the rule dialect
+        row = dv.check_data(df, dv.rule("audio_silence_ratio(bytes) < 0.9", name="not_silent")).collect()[0]
+        assert (row["pass"], row["fail"]) == (2, 1)

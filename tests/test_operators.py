@@ -210,3 +210,15 @@ class TestEmbeddingNearDup:
                  for r in embedding_near_dup_pairs(df, dim=8, threshold=0.999, bits=4).collect()}
         assert (3, 100) in pairs
         assert pairs[(3, 100)] > 0.999
+
+
+class TestBpeProxy:
+    def test_bpe_pieces(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "internationalization!"), (3, "a b 12345")],
+            "doc_id bigint, text string",
+        )
+        r = {x["doc_id"]: x["n_bpe_pieces"] for x in token_stats(df, bpe=True).collect()}
+        assert r[1] == 4   # hell|o wor|ld -> 2+2 chunks
+        assert r[2] == 6   # 20 letters -> 5 chunks + '!'
+        assert r[3] == 4   # a | b | 1234 | 5
