@@ -157,10 +157,13 @@ def describe(
             med = row[f"med__{name}"]
             median = float(med) if med is not None else None
 
-        most_frequent = None
-        if not fast and top_n > 0 and (n_distinct or 0) > 1:
-            mf = _most_frequent(df, f, top_n, digits, skip_ones)
-            most_frequent = mf
+        # parity (R/describe.R:75-93): suppressed/empty ⇒ "", fast ⇒ NULL
+        if fast:
+            most_frequent = None
+        elif top_n > 0 and (n_distinct or 0) > 1:
+            most_frequent = _most_frequent(df, f, top_n, digits, skip_ones)
+        else:
+            most_frequent = ""
         out_rows.append(
             (
                 name,
@@ -188,11 +191,15 @@ def _most_frequent(
 ) -> str | None:
     """Top-k formatter (R/describe.R:75-93): ``"v (c), v2 (c2)"``, numeric
     values rounded to ``digits``; ``skip_ones`` drops count==1 entries."""
+    """R semantics (R/describe.R:87-93 then :75-85): take the top-n BY COUNT
+    first, then drop count==1 entries — no backfill.  R's tie order is input
+    appearance order, which has no distributed analog; ties break by value
+    ascending here (deterministic)."""
     counts = (
         df.groupBy(F.col(field.name).alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc_nulls_last("v"))
-        .limit(top_n + 1)  # +1 so skip_ones can trim and still fill top_n
+        .limit(top_n)
         .collect()
     )
     parts = []
@@ -201,6 +208,4 @@ def _most_frequent(
             continue
         v = "NA" if r["v"] is None else _fmt_value(r["v"], digits)
         parts.append(f"{v} ({r['c']})")
-        if len(parts) >= top_n:
-            break
-    return ", ".join(parts) if parts else None
+    return ", ".join(parts)  # empty after skip_ones ⇒ "" (R/describe.R:82)

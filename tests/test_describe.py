@@ -75,11 +75,11 @@ class TestDescribe:
     def test_single_distinct_suppressed(self, spark):
         df1 = _one_col(spark)
         r = _by_var(describe(df1))["v"]
-        assert r["most_frequent"] is None
+        assert r["most_frequent"] == ""  # suppressed => "" (R/describe.R:76)
 
     def test_top_n_zero(self, spark, df):
         res = _by_var(describe(df, top_n=0))
-        assert all(r["most_frequent"] is None for r in res.values())
+        assert all(r["most_frequent"] == "" for r in res.values())
 
     def test_fast_mode(self, spark, df):
         # fast: n_distinct/median/most_frequent are NULL (R/describe.R:604-607)
