@@ -105,8 +105,16 @@ def describe(
     top_n: int = 3,
     fast: bool = False,
     approx: bool = False,
+    fused_topk: bool = False,
 ) -> DataFrame:
-    """Profile every column of ``df`` in one fused aggregation scan."""
+    """Profile every column of ``df`` in one fused aggregation scan.
+
+    ``fused_topk=True`` computes ALL columns' most_frequent in a single
+    explode→groupBy→window pass instead of one groupBy scan per column — the
+    wide-table scale path (K columns: 1 scan instead of K).  Tie-break is by
+    the value's string form there (the per-column default breaks ties on the
+    typed value); counts and formatting are otherwise identical.
+    """
     spark = df.sparkSession
     fields = list(df.schema.fields)
 
@@ -144,6 +152,10 @@ def describe(
         row = df.select(*proj).agg(*aggs).collect()[0].asDict()
     n = int(row["n__"])
 
+    fused_mf: dict[str, str] = {}
+    if fused_topk and not fast and top_n > 0:
+        fused_mf = _most_frequent_fused(df, fields, top_n, digits, skip_ones)
+
     out_rows: list[tuple] = []
     for f in fields:
         name = f.name
@@ -161,7 +173,10 @@ def describe(
         if fast:
             most_frequent = None
         elif top_n > 0 and (n_distinct or 0) > 1:
-            most_frequent = _most_frequent(df, f, top_n, digits, skip_ones)
+            if fused_topk:
+                most_frequent = fused_mf.get(name, "")
+            else:
+                most_frequent = _most_frequent(df, f, top_n, digits, skip_ones)
         else:
             most_frequent = ""
         out_rows.append(
@@ -209,3 +224,47 @@ def _most_frequent(
         v = "NA" if r["v"] is None else _fmt_value(r["v"], digits)
         parts.append(f"{v} ({r['c']})")
     return ", ".join(parts)  # empty after skip_ones ⇒ "" (R/describe.R:82)
+
+
+def _most_frequent_fused(
+    df: DataFrame, fields: list[T.StructField], top_n: int, digits: int, skip_ones: bool
+) -> dict[str, str]:
+    """All columns' top-k in ONE pass: explode (var, value-string) pairs →
+    one groupBy(var, v) count → per-var window top-n.  Shuffle carries one
+    row per distinct (column, value) — K full scans collapse to one."""
+    from pyspark.sql.window import Window
+
+    structs = [
+        F.struct(
+            F.lit(f.name).alias("var"),
+            F.when(F.col(f.name).isNull(), F.lit(None)).otherwise(
+                F.col(f.name).cast("string")
+            ).alias("v"),
+        )
+        for f in fields
+    ]
+    pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.var", "p.v")
+    counts = pairs.groupBy("var", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("var").orderBy(F.desc("c"), F.asc_nulls_last("v"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .orderBy("var", "rn")
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    numeric_vars = {
+        f.name for f in fields if isinstance(f.dataType, _NUMERIC + (T.BooleanType,))
+    }
+    for r in top:
+        if skip_ones and r["c"] <= 1:
+            continue
+        v = r["v"]
+        if v is None:
+            disp = "NA"
+        elif r["var"] in numeric_vars:
+            disp = _fmt_value(float(v), digits)
+        else:
+            disp = v
+        out.setdefault(r["var"], []).append(f"{disp} ({r['c']})")
+    return {var: ", ".join(parts) for var, parts in out.items()}

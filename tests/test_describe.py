@@ -104,3 +104,10 @@ class TestDescribe:
 
 def _one_col(spark):
     return spark.createDataFrame([(1,), (1,), (1,)], "v int")
+
+
+class TestFusedTopK:
+    def test_fused_matches_per_column(self, spark, df):
+        a = {r["var"]: r["most_frequent"] for r in describe(df, top_n=2).collect()}
+        b = {r["var"]: r["most_frequent"] for r in describe(df, top_n=2, fused_topk=True).collect()}
+        assert a == b
