@@ -220,6 +220,18 @@ def q_check_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_data_by(ev, rules, by="event_type")
 
 
+def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness vs a fixed as_of instant (deterministic)."""
+    import datetime as dt
+
+    from dataverifyr_spark.operators.freshness import freshness
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness(
+        ev, "ts", as_of=dt.datetime(2024, 1, 31, 12, 0, 0), max_lag_minutes=720, by="event_type"
+    )
+
+
 def q_most_frequent_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe()'s top-k most_frequent formatting on the two low-cardinality
     customer columns ("v (c), v2 (c2), v3 (c3)", R/describe.R:75-93)."""
@@ -274,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lineitem": q_drift_psi_lineitem,
         "near_dup_pairs_embeddings": q_near_dup_pairs_embeddings,
         "check_by_event_type": q_check_by_event_type,
+        "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
@@ -511,6 +524,12 @@ def oracle_sql() -> dict[str, str]:
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
         "most_frequent_customer": most_frequent,
+        "events_freshness": """
+    SELECT event_type, MAX(ts) AS last_ts,
+           ROUND((epoch(TIMESTAMP '2024-01-31 12:00:00') - epoch(MAX(ts))) / 60.0, 3) AS lag_minutes,
+           (epoch(TIMESTAMP '2024-01-31 12:00:00') - epoch(MAX(ts))) / 60.0 <= 720 AS is_fresh
+    FROM events GROUP BY event_type
+    """,
         "drift_psi_lineitem": drift,
         "near_dup_pairs_embeddings": near_dup,
         "check_by_event_type": check_by_event,

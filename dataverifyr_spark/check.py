@@ -319,15 +319,35 @@ def _eval_reference(
 # ---------------------------------------------------------------------------
 
 
+def _upgrade(x, spark: SparkSession | None):
+    """Accept pandas frames for tiny local inputs — the analog of the
+    reference upgrading bare data.frames to the active backend
+    (R/check_data.R:86-95)."""
+    if isinstance(x, DataFrame):
+        return x
+    try:
+        import pandas as pd
+
+        if isinstance(x, pd.DataFrame):
+            s = spark or SparkSession.getActiveSession()
+            if s is None:
+                raise ValueError("pass spark= to check_data for pandas inputs")
+            return s.createDataFrame(x)
+    except ImportError:
+        pass
+    return x
+
+
 def _resolve_datasets(
-    x: DataFrame | Mapping[str, DataFrame], data_name: str | None
+    x, data_name: str | None, spark: SparkSession | None = None
 ) -> tuple[DataFrame, dict[str, DataFrame], str]:
+    x = _upgrade(x, spark)
     if isinstance(x, DataFrame):
         return x, {}, data_name or "df"
     if isinstance(x, Mapping):
         if not x:
             raise ValueError("empty dataset mapping")
-        datasets = dict(x)
+        datasets = {k: _upgrade(v, spark) for k, v in x.items()}
         primary_name = data_name or next(iter(datasets))
         if primary_name not in datasets:
             raise ValueError(f"data_name '{primary_name}' not in dataset mapping")
@@ -361,7 +381,7 @@ def check_data(
     if extra_columns not in ("ignore", "warn", "fail"):
         raise ValueError("extra_columns must be one of ignore/warn/fail")
 
-    df, datasets, primary_name = _resolve_datasets(x, data_name or rules.data_name)
+    df, datasets, primary_name = _resolve_datasets(x, data_name or rules.data_name, spark)
     spark = spark or df.sparkSession
 
     schema_rows: list[dict[str, Any]] = []
@@ -517,3 +537,33 @@ def combined_fail_predicate(rules: Ruleset) -> Column:
     if not preds:
         return F.lit(False)
     return reduce(or_, preds)
+
+
+def reference_violations(
+    df: DataFrame, r: ReferenceRule, datasets: Mapping[str, DataFrame]
+) -> DataFrame:
+    """Rows of ``df`` violating a reference rule — the anti-join complement
+    of the membership count (the reference's filter_fails skips reference
+    rules, R/filters.R:42-47; this is the scale extension that materializes
+    orphan rows for triage).
+
+    Plain rule:   violators = rows whose local value is NOT in the ref set
+                  (left_anti; NULL local is a violator: NULL∈set is FALSE)
+    negate:       violators = rows whose local value IS in the set
+                  (left_semi blacklist hits; NULL passes the negated rule)
+    allow_na:     NULL-local rows are rescued from the violator set
+    """
+    if r.ref_dataset not in datasets:
+        raise ValueError(f"reference dataset '{r.ref_dataset}' not provided")
+    ref = datasets[r.ref_dataset]
+    ref_vals = ref.select(F.col(r.ref_col).alias(r.local_col)).distinct()
+    if r.negate:
+        out = df.join(ref_vals, on=r.local_col, how="left_semi")
+        # NULL local never matches -> already excluded, and negated NULL passes
+    else:
+        out = df.join(ref_vals, on=r.local_col, how="left_anti")
+        # left_anti keeps NULL locals (no match) -> violators, matching
+        # %in% semantics; allow_na rescues them below
+    if r.allow_na:
+        out = out.filter(F.col(r.local_col).isNotNull())
+    return out

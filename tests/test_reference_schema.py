@@ -128,3 +128,48 @@ class TestSchemaChecks:
         rs = ruleset(data_columns=[data_column("z", "int")])
         with pytest.raises(CheckDataError, match="schema fails"):
             check_data(df, rs, stop_on_schema_fail=True)
+
+
+class TestReferenceViolations:
+    def test_plain_anti_join(self, spark):
+        from dataverifyr_spark.check import reference_violations
+        from dataverifyr_spark import reference_rule as rr
+
+        fl, ca = flights(spark), carriers(spark)
+        out = reference_violations(fl, rr("carrier", "carriers", "carrier_id"), {"carriers": ca})
+        got = sorted((r["carrier"] or "~null") for r in out.collect())
+        assert got == ["BB", "~null"]  # BB not in set; NULL %in% set is FALSE
+
+    def test_allow_na_rescues_null(self, spark):
+        from dataverifyr_spark.check import reference_violations
+        from dataverifyr_spark import reference_rule as rr
+
+        out = reference_violations(
+            flights(spark),
+            rr("carrier", "carriers", "carrier_id", allow_na=True),
+            {"carriers": carriers(spark)},
+        )
+        assert [r["carrier"] for r in out.collect()] == ["BB"]
+
+    def test_negated_blacklist_semi(self, spark):
+        from dataverifyr_spark.check import reference_violations
+        from dataverifyr_spark import reference_rule as rr
+
+        out = reference_violations(
+            flights(spark),
+            rr("carrier", "carriers", "carrier_id", negate=True),
+            {"carriers": carriers(spark)},
+        )
+        assert [r["carrier"] for r in out.collect()] == ["AA"]
+
+    def test_counts_match_check_data(self, spark):
+        from dataverifyr_spark.check import reference_violations
+        from dataverifyr_spark import reference_rule as rr
+
+        for kw in ({}, {"allow_na": True}, {"negate": True}):
+            r = rr("carrier", "carriers", "carrier_id", **kw)
+            res = check_data(
+                {"flights": flights(spark), "carriers": carriers(spark)}, ruleset(r)
+            ).collect()[0]
+            n = reference_violations(flights(spark), r, {"carriers": carriers(spark)}).count()
+            assert n == res["fail"], kw

@@ -101,3 +101,35 @@ class TestMultimodal:
             decode_image_stub(None)
         img = decode_image_stub(b"x" * 100)
         assert img.shape == (32, 32, 3)
+
+
+class TestFreshness:
+    def test_freshness_per_group(self, spark):
+        import datetime as dt
+        from dataverifyr_spark.operators.freshness import freshness
+
+        base = dt.datetime(2025, 6, 1, 12, 0, 0)
+        rows = [
+            ("a", base),
+            ("a", base + dt.timedelta(minutes=30)),
+            ("b", base - dt.timedelta(hours=3)),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp")
+        out = {r["g"]: r for r in freshness(
+            df, "ts", as_of=base + dt.timedelta(hours=1), max_lag_minutes=60, by="g"
+        ).collect()}
+        assert out["a"]["is_fresh"] is True and out["a"]["lag_minutes"] == 30.0
+        assert out["b"]["is_fresh"] is False and out["b"]["lag_minutes"] == 240.0
+
+    def test_interval_gaps(self, spark):
+        import datetime as dt
+        from dataverifyr_spark.operators.freshness import interval_gaps
+
+        base = dt.datetime(2025, 6, 1, 0, 0, 0)
+        # events in hours 0,1,3 of a 5-hour window -> gaps at hours 2 and 4
+        rows = [(base + dt.timedelta(hours=h, minutes=m),) for h in (0, 1, 3) for m in (5, 40)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        gaps = [r["bucket"] for r in interval_gaps(
+            df, "ts", base, base + dt.timedelta(hours=5), interval_minutes=60
+        ).collect()]
+        assert gaps == [base + dt.timedelta(hours=2), base + dt.timedelta(hours=4)]
