@@ -7,7 +7,7 @@ as distinct-ref joins; schema checks are driver-only metadata work.  See
 SURVEY.md for the full reference-parity map.
 """
 
-from .check import CheckDataError, check_data, check_data_by
+from .check import CheckDataError, check_data, check_data_by, reference_violations
 from .describe import describe
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
@@ -41,6 +41,7 @@ __all__ = [
     "DataColumn",
     "check_data",
     "check_data_by",
+    "reference_violations",
     "CheckDataError",
     "filter_fails",
     "fail_predicate",

@@ -432,7 +432,18 @@ def check_data(
             )
             gi += 1
 
-    ref_results = [_eval_reference(df, r, datasets, tests) for r in ref_rules]
+    # reference rules are independent join+agg jobs — submit them concurrently
+    # (Spark's scheduler interleaves jobs from multiple driver threads); order
+    # of the result rows still follows ruleset order
+    if len(ref_rules) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(ref_rules))) as pool:
+            ref_results = list(
+                pool.map(lambda r: _eval_reference(df, r, datasets, tests), ref_rules)
+            )
+    else:
+        ref_results = [_eval_reference(df, r, datasets, tests) for r in ref_rules]
 
     all_rows = schema_rows + row_results + ref_results
     result = spark.createDataFrame(

@@ -173,3 +173,17 @@ class TestReferenceViolations:
             ).collect()[0]
             n = reference_violations(flights(spark), r, {"carriers": carriers(spark)}).count()
             assert n == res["fail"], kw
+
+
+class TestConcurrentReferenceRules:
+    def test_multiple_reference_rules_order_and_counts(self, spark):
+        # three independent FK rules -> evaluated concurrently, rows in
+        # ruleset order with correct counts
+        rs = ruleset(
+            reference_rule("carrier", "carriers", "carrier_id", name="fk_a"),
+            reference_rule("carrier", "carriers", "carrier_id", name="fk_b", allow_na=True),
+            reference_rule("carrier", "carriers", "carrier_id", name="fk_c", negate=True),
+        )
+        res = _rows(check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs))
+        assert [r["name"] for r in res] == ["fk_a", "fk_b", "fk_c"]
+        assert [(r["pass"], r["fail"]) for r in res] == [(1, 2), (2, 1), (2, 1)]
