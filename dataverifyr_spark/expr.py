@@ -510,7 +510,10 @@ class _Compiler:
             hay = node.haystack
             if isinstance(hay, Call) and hay.func == "c":
                 values = [_literal_value(a) for a in hay.args]
-                return needle.isin(values)
+                # R %in% never yields NA: NULL needle → FALSE (match,
+                # R/data_column.R:354 for the reference-rule analog and base-R
+                # semantics generally) — unlike SQL IN's three-valued NULL
+                return F.coalesce(needle.isin(values), F.lit(False))
             if isinstance(hay, Dollar):
                 raise ExprError(
                     "membership against another dataset requires reference_rule(...)"
@@ -585,3 +588,97 @@ def _substr_builder(ctx: _Ctx, nodes: list[Node], cols: list[Column]) -> Column:
 
 
 _REGISTRY["substr"] = _substr_builder
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL emitter — the same AST rendered for other engines (DuckDB oracle
+# generation, cross-engine rule portability).  NULL/three-valued semantics of
+# the emitted SQL match the Column compilation by construction: both express
+# the identical boolean algebra.
+# ---------------------------------------------------------------------------
+
+_SQL_FUNCS = {
+    "is.na": lambda a: f"({a[0]} IS NULL)",
+    "nchar": lambda a: f"LENGTH(CAST({a[0]} AS VARCHAR))",
+    "abs": lambda a: f"ABS({a[0]})",
+    "sqrt": lambda a: f"SQRT({a[0]})",
+    "exp": lambda a: f"EXP({a[0]})",
+    "log": lambda a: f"LN({a[0]})",
+    "log2": lambda a: f"LOG2({a[0]})",
+    "log10": lambda a: f"LOG10({a[0]})",
+    "floor": lambda a: f"FLOOR({a[0]})",
+    "ceiling": lambda a: f"CEIL({a[0]})",
+    "round": lambda a: f"ROUND({', '.join(a)})",
+    "tolower": lambda a: f"LOWER({a[0]})",
+    "toupper": lambda a: f"UPPER({a[0]})",
+    "trimws": lambda a: f"TRIM({a[0]})",
+    "as.numeric": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
+    "as.double": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
+    "as.integer": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
+    "as.character": lambda a: f"CAST({a[0]} AS VARCHAR)",
+    "coalesce": lambda a: f"COALESCE({', '.join(a)})",
+    "ifelse": lambda a: f"(CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END)",
+    "substr": lambda a: f"SUBSTRING({a[0]}, {a[1]}, {a[2]} - {a[1]} + 1)",
+    "paste0": lambda a: f"CONCAT({', '.join(a)})",
+    "startsWith": lambda a: f"({a[0]} LIKE {a[1]} || '%')",
+    "endsWith": lambda a: f"({a[0]} LIKE '%' || {a[1]})",
+}
+
+_SQL_OPS = {"&": "AND", "|": "OR", "==": "=", "^": "^"}
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def to_sql(expr: str | Node) -> str:
+    """Render a dialect expression as ANSI SQL (DuckDB-compatible)."""
+    node = parse_expr(expr) if isinstance(expr, str) else expr
+    return _emit_sql(node)
+
+
+def _emit_sql(node: Node) -> str:
+    if isinstance(node, Num):
+        return repr(node.value)
+    if isinstance(node, Str):
+        return _sql_lit(node.value)
+    if isinstance(node, Bool):
+        return "TRUE" if node.value else "FALSE"
+    if isinstance(node, NaLit):
+        return "NULL"
+    if isinstance(node, Col):
+        return f'"{node.name}"'
+    if isinstance(node, Dollar):
+        raise ExprError("reference expressions have no standalone SQL form")
+    if isinstance(node, InSet):
+        hay = node.haystack
+        if isinstance(hay, Call) and hay.func == "c":
+            vals = ", ".join(_sql_lit(_literal_value(a)) for a in hay.args)
+            # match %in% semantics exactly: NULL needle -> FALSE, never NULL
+            return f"COALESCE({_emit_sql(node.needle)} IN ({vals}), FALSE)"
+        raise ExprError("%in% right-hand side must be c(...) of literals")
+    if isinstance(node, Unary):
+        if node.op == "!":
+            return f"(NOT {_emit_sql(node.operand)})"
+        return f"(-{_emit_sql(node.operand)})"
+    if isinstance(node, Binary):
+        if node.op == "%%":
+            # R %% == Spark pmod: result sign follows the divisor
+            lhs, rhs = _emit_sql(node.left), _emit_sql(node.right)
+            return f"((({lhs}) % ({rhs}) + ({rhs})) % ({rhs}))"
+        if node.op == "^":
+            return f"POWER({_emit_sql(node.left)}, {_emit_sql(node.right)})"
+        op = _SQL_OPS.get(node.op, node.op)
+        return f"({_emit_sql(node.left)} {op} {_emit_sql(node.right)})"
+    if isinstance(node, Call):
+        fn = _SQL_FUNCS.get(node.func)
+        if fn is None:
+            raise ExprError(f"no SQL rendering for function '{node.func}'")
+        return fn([_emit_sql(a) for a in node.args])
+    raise ExprError(f"cannot render {node!r}")

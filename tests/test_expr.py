@@ -59,14 +59,15 @@ class TestCompile:
     def test_basic_predicates(self, spark):
         df = spark.createDataFrame([(1, "a"), (5, "b"), (None, None)], "x int, s string")
         assert self._eval(spark, df, "x > 2") == [False, True, None]
-        assert self._eval(spark, df, "x %in% c(1, 2)") == [True, False, None]
+        # R %in% never yields NA: NULL needle is FALSE (not SQL NULL)
+        assert self._eval(spark, df, "x %in% c(1, 2)") == [True, False, False]
         assert self._eval(spark, df, "is.na(x)") == [False, False, True]
         assert self._eval(spark, df, "s == 'a'") == [True, False, None]
         assert self._eval(spark, df, "!(x > 2)") == [True, False, None]
 
     def test_string_set(self, spark):
         df = spark.createDataFrame([("gold",), ("odd",), (None,)], "t string")
-        assert self._eval(spark, df, "t %in% c('gold', 'silver')") == [True, False, None]
+        assert self._eval(spark, df, "t %in% c('gold', 'silver')") == [True, False, False]
 
     def test_try_cast_coercion(self, spark):
         df = spark.createDataFrame([("10",), ("asd",), (None,)], "hp string")

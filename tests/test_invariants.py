@@ -75,12 +75,21 @@ class TestInvariants:
                 assert got >= res["fail"], (e, an, ng)
                 if an:  # allow_na guards are identical in both paths
                     assert got == res["fail"], (e, an, ng)
-        # single-column predicates: exact equality in every flag combination
-        for e in ["a > 0", "b %in% c(0, 1, 2)", "nchar(s) > 1"]:
+        # single-column predicates that go NULL exactly when the symbol is
+        # NULL: exact equality in every flag combination
+        for e in ["a > 0", "nchar(s) > 1"]:
             for an, ng in [(False, False), (True, False), (False, True), (True, True)]:
                 r = rule(e, allow_na=an, negate=ng)
                 res = check_data(df, r).collect()[0]
                 assert filter_fails(ruleset(r), df).count() == res["fail"], (e, an, ng)
+        # %in% never yields NULL (R semantics), so NEGATED %in% without
+        # allow_na has the superset property even single-column — exactly as
+        # in R, where !(b %in% set) passes NA rows but the anti-guard
+        # (R/filters.R:66-71) still reports them; equality holds non-negated
+        for an, ng in [(False, False), (True, False), (True, True)]:
+            r = rule("b %in% c(0, 1, 2)", allow_na=an, negate=ng)
+            res = check_data(df, r).collect()[0]
+            assert filter_fails(ruleset(r), df).count() == res["fail"], (an, ng)
         df.unpersist()
 
     def test_negation_duality(self, spark, seed):
