@@ -167,3 +167,42 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def lsh_topk_multiprobe(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Multiprobe LSH top-k: search the query's bucket plus the buckets at
+    Hamming distance ≤ ``probes`` (flip up to ``probes`` sign bits).
+
+    probes=1 searches 1+bits buckets — recall rises steeply because the most
+    likely LSH failure is a single near-boundary hyperplane flipping one bit.
+    The candidate scan stays O(N·(1+bits)/2^bits); with the table written
+    partitioned by ``bucket``, the isin filter becomes partition pruning.
+    """
+    from itertools import combinations
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << b
+    targets = {qbucket}
+    for r in range(1, probes + 1):
+        for flip in combinations(range(bits), r):
+            m = 0
+            for b in flip:
+                m |= 1 << b
+            targets.add(qbucket ^ m)
+    bucketed = hyperplane_lsh_buckets(df, dim, bits, vec_col, seed)
+    return brute_force_topk(
+        bucketed.filter(F.col("bucket").isin(sorted(targets))), query_vec, k, vec_col, id_col
+    )

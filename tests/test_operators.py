@@ -222,3 +222,49 @@ class TestBpeProxy:
         assert r[1] == 4   # hell|o wor|ld -> 2+2 chunks
         assert r[2] == 6   # 20 letters -> 5 chunks + '!'
         assert r[3] == 4   # a | b | 1234 | 5
+
+
+class TestMultiprobeAndIVF:
+    @pytest.fixture(scope="class")
+    def emb2(self, spark):
+        import math as m
+        rows = [(i, [m.sin(i * 0.37 + d * 1.3) for d in range(8)]) for i in range(200)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+
+    def test_multiprobe_recall_at_least_single_probe(self, spark, emb2):
+        import math as m
+        from dataverifyr_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+            lsh_topk_multiprobe,
+        )
+
+        q = [m.sin(42 * 0.37 + d * 1.3 + 0.01) for d in range(8)]
+        truth = {r["vec_id"] for r in brute_force_topk(emb2, q, k=5).collect()}
+        single = {r["vec_id"] for r in lsh_topk(emb2, q, k=5, bits=6).collect()}
+        multi = {r["vec_id"] for r in lsh_topk_multiprobe(emb2, q, k=5, bits=6, probes=1).collect()}
+        assert len(multi & truth) >= len(single & truth)
+        assert len(multi & truth) >= 3  # decent recall with 1-bit probes
+
+    def test_ivf_end_to_end(self, spark, emb2):
+        import math as m
+        from dataverifyr_spark.operators.ivf import ivf_index, ivf_topk, kmeans_fit
+        from dataverifyr_spark.operators.similarity import brute_force_topk
+
+        cents = kmeans_fit(emb2, k=8, dim=8, iters=3)
+        assert len(cents) == 8 and all(len(c) == 8 for c in cents)
+        indexed = ivf_index(emb2, cents).cache()
+        # every row got a cluster; clusters are non-degenerate
+        n_clusters = indexed.select("cluster").distinct().count()
+        assert n_clusters >= 4
+        q = [m.sin(17 * 0.37 + d * 1.3 + 0.01) for d in range(8)]
+        truth = {r["vec_id"] for r in brute_force_topk(emb2, q, k=5).collect()}
+        approx = {r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, nprobe=3).collect()}
+        assert len(approx & truth) >= 3
+
+    def test_kmeans_deterministic(self, spark, emb2):
+        from dataverifyr_spark.operators.ivf import kmeans_fit
+
+        a = kmeans_fit(emb2, k=4, dim=8, iters=2)
+        b = kmeans_fit(emb2, k=4, dim=8, iters=2)
+        assert a == b
