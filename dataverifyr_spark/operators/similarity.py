@@ -206,3 +206,48 @@ def lsh_topk_multiprobe(
     return brute_force_topk(
         bucketed.filter(F.col("bucket").isin(sorted(targets))), query_vec, k, vec_col, id_col
     )
+
+
+def topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    bits: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Batch top-k: every query row against the corpus in one job.
+
+    Default: broadcast the (small) query side into a cross join — each
+    corpus partition scores all queries locally, and the per-query top-k is a
+    window over (query, sim), shuffling only corpus_rows×queries score rows.
+    With ``bits`` set, both sides are hyperplane-bucketed and joined on the
+    bucket instead — candidates shrink to same-bucket pairs (ANN, recall per
+    the LSH notes above).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    if bits is not None:
+        if dim is None:
+            raise ValueError("dim is required for bucketed topk_join")
+        corpus_b = hyperplane_lsh_buckets(corpus, dim, bits, vec_col, seed)
+        queries_b = hyperplane_lsh_buckets(
+            q.withColumnRenamed("__qvec", vec_col), dim, bits, vec_col, seed
+        ).withColumnRenamed(vec_col, "__qvec")
+        joined = corpus_b.join(F.broadcast(queries_b), "bucket")
+    else:
+        joined = corpus.crossJoin(F.broadcast(q))
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

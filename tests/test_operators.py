@@ -268,3 +268,41 @@ class TestMultiprobeAndIVF:
         a = kmeans_fit(emb2, k=4, dim=8, iters=2)
         b = kmeans_fit(emb2, k=4, dim=8, iters=2)
         assert a == b
+
+
+class TestTopkJoin:
+    def test_batch_topk_matches_per_query(self, spark):
+        import math as m
+        from dataverifyr_spark.operators.similarity import brute_force_topk, topk_join
+
+        corpus = spark.createDataFrame(
+            [(i, [m.sin(i * 0.53 + d) for d in range(6)]) for i in range(80)],
+            "vec_id bigint, embedding array<double>",
+        ).cache()
+        queries = spark.createDataFrame(
+            [(j, [m.sin(j * 0.53 + d) + 0.001 for d in range(6)]) for j in (5, 33)],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = topk_join(corpus, queries, k=3)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        for qid in (5, 33):
+            qvec = [m.sin(qid * 0.53 + d) + 0.001 for d in range(6)]
+            expect = [r["vec_id"] for r in brute_force_topk(corpus, qvec, k=3).collect()]
+            assert got[qid] == expect
+
+    def test_bucketed_batch_includes_self(self, spark):
+        import math as m
+        from dataverifyr_spark.operators.similarity import topk_join
+
+        corpus = spark.createDataFrame(
+            [(i, [m.sin(i * 0.53 + d) for d in range(6)]) for i in range(80)],
+            "vec_id bigint, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(7, [m.sin(7 * 0.53 + d) for d in range(6)])],
+            "query_id bigint, embedding array<double>",
+        )
+        out = topk_join(corpus, queries, k=3, dim=6, bits=4)
+        assert [r["vec_id"] for r in out.collect()][0] == 7
