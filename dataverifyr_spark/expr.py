@@ -499,7 +499,9 @@ class _Compiler:
         if isinstance(node, NaLit):
             return F.lit(None)
         if isinstance(node, Col):
-            return F.col(node.name)
+            # backtick-quote dotted names (R idiom: Solar.R) so Spark reads
+            # them as plain columns, not struct-field paths
+            return F.col(f"`{node.name}`") if "." in node.name else F.col(node.name)
         if isinstance(node, Dollar):
             raise ExprError(
                 f"'{node.dataset}${node.column}' references another dataset; "
