@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .expr import CompileResult, ExprError, compile_expr
+from .expr import CompileResult, ExprError, col_ref, compile_expr
 from .rules import DataColumn, ReferenceRule, Rule, Ruleset, ruleset, validate_data_columns
 
 __all__ = ["check_data", "CheckDataError", "RESULT_SCHEMA", "compile_rule_predicate"]
@@ -90,7 +90,7 @@ def compile_rule_predicate(r: Rule) -> CompileResult:
         pred = ~pred
     if r.allow_na:
         for s in res.symbols:
-            pred = pred | F.col(s).isNull()
+            pred = pred | col_ref(s).isNull()
     return CompileResult(column=pred, symbols=res.symbols, coercion_watchers=res.coercion_watchers)
 
 

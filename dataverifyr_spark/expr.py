@@ -684,3 +684,8 @@ def _emit_sql(node: Node) -> str:
             raise ExprError(f"no SQL rendering for function '{node.func}'")
         return fn([_emit_sql(a) for a in node.args])
     raise ExprError(f"cannot render {node!r}")
+
+
+def col_ref(name: str) -> Column:
+    """Column reference that survives dotted R-style names (Solar.R)."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .expr import col_ref
 from .rules import ReferenceRule, Rule, Ruleset
 
 __all__ = ["filter_fails", "fail_predicate"]
@@ -45,10 +46,10 @@ def fail_predicate(r: Rule) -> Column:
         pred = ~pred
     if r.allow_na:
         for s in res.symbols:
-            pred = pred | F.col(s).isNull()
+            pred = pred | col_ref(s).isNull()
     else:
         for s in res.symbols:
-            pred = pred & F.col(s).isNotNull()
+            pred = pred & col_ref(s).isNotNull()
     return ~pred
 
 

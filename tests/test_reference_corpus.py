@@ -70,3 +70,13 @@ class TestReferenceCorpus:
         df = spark.createDataFrame([(1,)], "x int")
         r = check_data(df, rule("stop('Not going to work...')")).collect()[0]
         assert r["error"] != "" and (r["pass"], r["fail"]) == (0, 1)
+
+    def test_dotted_names_in_guards(self, spark):
+        # allow_na guard and anti-guard must also quote dotted symbols
+        from dataverifyr_spark import filter_fails
+
+        df = spark.createDataFrame([(150.0,), (None,), (250.0,)], "`Solar.R` double")
+        r = check_data(df, rule("Solar.R < 200", allow_na=True)).collect()[0]
+        assert (r["pass"], r["fail"]) == (2, 1)
+        bad = filter_fails(ruleset(rule("Solar.R < 200")), df)
+        assert bad.count() == 2  # 250 + NULL (anti-guard)
