@@ -509,6 +509,14 @@ def check_data_by(
     ``by..., name, expr, tests, pass, fail`` via an inline array-of-structs
     (pure Catalyst — no Python in the row path).  At 10^12 rows this yields
     one summary row per (partition-key × rule), the north_rule shape.
+
+    Skew note (north_rule: hot clip_id partitions): conditional-sum
+    aggregates combine map-side, so a key holding 90% of the rows shuffles
+    ONE partial row per upstream task, not 90% of the data to one reducer —
+    no salting needed for the summary path (tested under extreme skew in
+    tests/test_scale_features.py::TestSkew).  Salting matters for DISTINCT
+    counting (operators/uniqueness.py) and joins (AQE skewJoin enabled in
+    session.build_spark), not for these sums.
     """
     if isinstance(rules, Rule):
         rules = ruleset(rules)

@@ -133,3 +133,32 @@ class TestFreshness:
             df, "ts", base, base + dt.timedelta(hours=5), interval_minutes=60
         ).collect()]
         assert gaps == [base + dt.timedelta(hours=2), base + dt.timedelta(hours=4)]
+
+
+class TestSkew:
+    def test_hot_key_grouped_summary_correct(self, spark):
+        """north_rule: skewed clip_id partitions. check_data_by's conditional
+        sums combine map-side (partial aggregation), so a 90%-hot key shuffles
+        one partial row per (task, key) — not 90% of the data to one reducer.
+        Correctness under extreme skew:"""
+        n = 50000
+        df = spark.range(0, n).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("pk"),
+            (F.col("id") % 100).cast("double").alias("x"),
+        ).repartition(32)
+        out = {r["pk"]: r for r in __import__(
+            "dataverifyr_spark.check", fromlist=["check_data_by"]
+        ).check_data_by(df, ruleset(rule("x < 50", name="r")), by="pk").collect()}
+        assert out["hot"]["tests"] == n * 9 // 10
+        assert out["hot"]["pass"] + out["hot"]["fail"] == out["hot"]["tests"]
+        assert out["cold"]["tests"] == n // 10
+
+    def test_salted_distinct_under_skew(self, spark):
+        # 95% duplicate hot key: salted two-phase distinct stays correct
+        df = spark.range(0, 20000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(0)).otherwise(F.col("id")).alias("k")
+        )
+        from dataverifyr_spark.operators.uniqueness import distinct_count_salted
+
+        exact = df.distinct().count()
+        assert distinct_count_salted(df, "k") == exact
