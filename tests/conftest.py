@@ -5,20 +5,17 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
+from dataverifyr_spark.session import build_spark
 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[8]")
-        .appName("dataverifyr-spark-tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+    s = build_spark(
+        master="local[8]",
+        app_name="dataverifyr-spark-tests",
+        shuffle_partitions=8,
+        spark_ui_enabled="false",
+        spark_driver_memory="4g",
     )
     yield s
     s.stop()
