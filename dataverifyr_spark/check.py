@@ -16,9 +16,10 @@ Spark-first design — deliberately NOT the reference's one-scan-per-rule loop:
   zero-row ``df.select`` — analysis errors (missing column, bad call) become
   error rows (pass=0, fail=tests) without aborting the job, matching
   R/check_data.R:301-315.
-* Only the union of referenced columns is selected before the agg, so the
-  Parquet/Iceberg scan prunes columns even if Catalyst's own pruning is ever
-  defeated by an opaque UDF rule.
+* Column pruning is left to Catalyst (the fused agg references only rule
+  columns, so the Parquet/Iceberg ReadSchema shrinks to their union — see
+  EXPLAIN.md); an explicit pre-agg select measured strictly slower on cached
+  inputs and was removed.
 * Reference rules evaluate as distinct-ref LEFT joins (AQE picks
   broadcast-hash when the distinct ref side is small; see ``_eval_reference``)
   — never a collected ``isin`` list, which would cap ref size at driver memory.
