@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 import time as _time
+import warnings
 from dataclasses import dataclass
 from functools import reduce
 from operator import or_
@@ -178,12 +179,16 @@ def _schema_rows(
 ) -> tuple[list[dict[str, Any]], list[str]]:
     validate_data_columns(decls)
     rows: list[dict[str, Any]] = []
-    warnings: list[str] = []
+    warns: list[str] = []
     actual = {f.name: f.dataType for f in df.schema.fields}
     declared = {c.col for c in decls}
 
-    # unknown-symbol hard stop (R/data_column.R:228-236)
+    # unknown-symbol hard stop — expression rules only; reference rules are
+    # validated against their own datasets, not data_columns
+    # (R/data_column.R:228-236 filters reference_rule out first)
     for r in rules:
+        if isinstance(r, ReferenceRule):
+            continue
         try:
             syms = r.symbols()
         except ExprError:
@@ -194,27 +199,18 @@ def _schema_rows(
                 f"rule '{r.name}' references undeclared column(s): {', '.join(unknown)}"
             )
 
-    # extra-columns policy (R/data_column.R:216-226)
+    # extra-columns policy (R/data_column.R:215-226): warn emits a real
+    # warning, fail hard-stops — both matching the reference's warning()/stop()
     extras = [c for c in actual if c not in declared]
-    if extras and extra_columns == "warn":
-        warnings.append(f"extra columns found: {', '.join(sorted(extras))}")
-    elif extras and extra_columns == "fail":
-        for c in sorted(extras):
-            rows.append(
-                {
-                    "check_type": "schema",
-                    "name": f"Extra column: {c}",
-                    "expr": f"!column_exists('{c}')",
-                    "allow_na": False,
-                    "negate": False,
-                    "tests": 1,
-                    "pass": 0,
-                    "fail": 1,
-                    "warn": "",
-                    "error": f"column '{c}' is not declared",
-                    "time": 0.0,
-                }
-            )
+    if extras:
+        msg = (
+            "Found extra columns not declared in `data_columns`: "
+            + ", ".join(sorted(extras))
+        )
+        if extra_columns == "warn":
+            warns.append(msg)
+        elif extra_columns == "fail":
+            raise ValueError(msg)
 
     for c in decls:
         exists = c.col in actual
@@ -255,7 +251,7 @@ def _schema_rows(
                     "time": 0.0,
                 }
             )
-    return rows, warnings
+    return rows, warns
 
 
 # ---------------------------------------------------------------------------
@@ -269,10 +265,11 @@ def _reference_ok_column(
 ) -> tuple[DataFrame, Column]:
     """Return (df joined with hit marker, ok Column) for one reference rule.
 
-    R ``%in%`` never yields NA: NULL local ⇒ FALSE (R/data_column.R:354), so
-    ``hit IS NOT NULL`` reproduces it exactly.  negate inverts AFTER the
-    membership test; allow_na ORs an is-null rescue on top — same order as
-    expression rules.
+    R ``%in%`` never yields NA: NULL local ⇒ FALSE (R/data_column.R:352), so
+    ``hit IS NOT NULL`` reproduces it exactly.  Rewrite order is the OPPOSITE
+    of expression rules here: the reference applies the allow_na is-na rescue
+    FIRST and negate LAST (R/data_column.R:353-358), so with both flags set a
+    NULL local value is rescued to ok=TRUE and then negated to a FAIL.
     """
     ref = datasets[r.ref_dataset]
     if r.ref_col not in ref.columns:
@@ -284,10 +281,10 @@ def _reference_ok_column(
     local = df.select(F.col(r.local_col))
     joined = local.join(ref_vals, local[r.local_col] == F.col("__ref_val"), "left")
     ok = F.col("__ref_val").isNotNull()
-    if r.negate:
-        ok = ~ok
     if r.allow_na:
         ok = ok | F.col(r.local_col).isNull()
+    if r.negate:
+        ok = ~ok
     return joined, ok
 
 
@@ -387,7 +384,11 @@ def check_data(
 
     schema_rows: list[dict[str, Any]] = []
     if rules.data_columns:
-        schema_rows, _warns = _schema_rows(df, rules.data_columns, rules.rules, extra_columns)
+        schema_rows, schema_warns = _schema_rows(
+            df, rules.data_columns, rules.rules, extra_columns
+        )
+        for msg in schema_warns:
+            warnings.warn(msg, stacklevel=2)
 
     expr_rules = [r for r in rules if not isinstance(r, ReferenceRule)]
     ref_rules = [r for r in rules if isinstance(r, ReferenceRule)]
@@ -567,11 +568,15 @@ def reference_violations(
     rules, R/filters.R:42-47; this is the scale extension that materializes
     orphan rows for triage).
 
-    Plain rule:   violators = rows whose local value is NOT in the ref set
-                  (left_anti; NULL local is a violator: NULL∈set is FALSE)
-    negate:       violators = rows whose local value IS in the set
-                  (left_semi blacklist hits; NULL passes the negated rule)
-    allow_na:     NULL-local rows are rescued from the violator set
+    Flag algebra mirrors check_reference_rule's order — allow_na rescue FIRST,
+    negate LAST (R/data_column.R:353-358):
+
+    Plain rule:          violators = rows whose local value is NOT in the set
+                         (left_anti; NULL local is a violator: NULL∈set FALSE)
+    allow_na:            NULL-local rows are rescued from the violator set
+    negate:              ok = !in_set → violators = set hits (left_semi;
+                         NULL local never matches, so it passes)
+    negate + allow_na:   ok = !(in_set | is_na) → violators = set hits ∪ NULLs
     """
     if r.ref_dataset not in datasets:
         raise ValueError(f"reference dataset '{r.ref_dataset}' not provided")
@@ -579,11 +584,13 @@ def reference_violations(
     ref_vals = ref.select(F.col(r.ref_col).alias(r.local_col)).distinct()
     if r.negate:
         out = df.join(ref_vals, on=r.local_col, how="left_semi")
-        # NULL local never matches -> already excluded, and negated NULL passes
+        if r.allow_na:
+            # rescued-to-TRUE NULLs flip to FAIL under negation
+            out = out.unionByName(df.filter(F.col(r.local_col).isNull()))
     else:
         out = df.join(ref_vals, on=r.local_col, how="left_anti")
         # left_anti keeps NULL locals (no match) -> violators, matching
-        # %in% semantics; allow_na rescues them below
-    if r.allow_na:
-        out = out.filter(F.col(r.local_col).isNotNull())
+        # %in% semantics; allow_na rescues them
+        if r.allow_na:
+            out = out.filter(F.col(r.local_col).isNotNull())
     return out

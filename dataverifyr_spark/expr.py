@@ -512,10 +512,17 @@ class _Compiler:
             hay = node.haystack
             if isinstance(hay, Call) and hay.func == "c":
                 values = [_literal_value(a) for a in hay.args]
-                # R %in% never yields NA: NULL needle → FALSE (match,
-                # R/data_column.R:354 for the reference-rule analog and base-R
-                # semantics generally) — unlike SQL IN's three-valued NULL
-                return F.coalesce(needle.isin(values), F.lit(False))
+                # R %in% is match()-based and never yields NA: a NULL needle is
+                # FALSE unless NA is itself in the set (NA %in% c(1, NA) is
+                # TRUE) — unlike SQL IN's three-valued NULL logic
+                has_na = any(v is None for v in values)
+                non_null = [v for v in values if v is not None]
+                base = (
+                    F.coalesce(needle.isin(non_null), F.lit(False))
+                    if non_null
+                    else F.lit(False)
+                )
+                return (base | needle.isNull()) if has_na else base
             if isinstance(hay, Dollar):
                 raise ExprError(
                     "membership against another dataset requires reference_rule(...)"
@@ -661,9 +668,18 @@ def _emit_sql(node: Node) -> str:
     if isinstance(node, InSet):
         hay = node.haystack
         if isinstance(hay, Call) and hay.func == "c":
-            vals = ", ".join(_sql_lit(_literal_value(a)) for a in hay.args)
-            # match %in% semantics exactly: NULL needle -> FALSE, never NULL
-            return f"COALESCE({_emit_sql(node.needle)} IN ({vals}), FALSE)"
+            values = [_literal_value(a) for a in hay.args]
+            has_na = any(v is None for v in values)
+            non_null = [v for v in values if v is not None]
+            needle_sql = _emit_sql(node.needle)
+            # match %in% semantics exactly: NULL needle -> FALSE, never NULL,
+            # EXCEPT when NA is in the set (match-based: NA %in% c(NA) is TRUE)
+            if non_null:
+                vals = ", ".join(_sql_lit(v) for v in non_null)
+                base = f"COALESCE({needle_sql} IN ({vals}), FALSE)"
+            else:
+                base = "FALSE"
+            return f"({base} OR {needle_sql} IS NULL)" if has_na else base
         raise ExprError("%in% right-hand side must be c(...) of literals")
     if isinstance(node, Unary):
         if node.op == "!":

@@ -2,22 +2,22 @@
 turns near-dup candidate PAIRS (MinHash-LSH or embedding-LSH) into dedup
 GROUPS ("keep one representative per component").
 
-Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14 — public literature).  Each
-iteration is two joins + aggregations on the edge list; converges in
-O(log n) rounds, never materializes a component in one task, and every step
-is a plain DataFrame op — so it runs at 10^12-edge scale where a driver-side
-union-find cannot.
-
-  large-star: for each node u, connect every neighbor v > u to min(N(u) ∪ u)
-  small-star: for each node u, connect every neighbor v <= u to the minimum
-
-Here we use the simpler, equivalent-fixpoint formulation: iterate
-``label(u) = min(label(u), min(label(neighbors)))`` via a groupBy-min message
-pass, checking convergence with an aggregate count of changed labels.
+Algorithm: one-hop min-label propagation to a fixpoint — each round every
+node takes the minimum label among itself and its direct neighbors via a
+groupBy-min message pass.  Rounds needed = graph DIAMETER (near-dup clusters
+are dense, so typically 2-4; a pathological length-k chain needs k rounds —
+``connected_components`` warns if ``max_iter`` is exhausted before the
+fixpoint).  This is the simple cousin of alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+which converges in O(log n) rounds by rewiring edges; for dedup-shaped
+graphs (small dense clusters, tiny diameter) the one-hop pass does fewer
+shuffles per round and wins.  Every step is a plain DataFrame op — no
+driver-side union-find — so it runs at 10^12-edge scale.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,41 +29,64 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 30,
 ) -> DataFrame:
     """(node, component) for every node appearing in the edge list; the
     component id is the minimum node id of the component.
 
-    Label-propagation-to-minimum: each round, every node takes the min label
-    among itself and its neighbors.  Rounds = graph diameter (near-dup
-    clusters are dense, so typically 2-4).  Each round: one union + one
-    groupBy — shuffle keyed on node id, partial-agg friendly.
+    The union of own-labels and neighbor messages is min-aggregated per node
+    while simultaneously carrying the node's previous label, so the "did
+    anything change?" convergence probe is a trivial max over the already
+    materialized round (no separate join+count scan of the inputs).
+
+    Each round ends in ``localCheckpoint(eager=True)``: iterative label
+    updates reference the previous generation TWICE (message join + union),
+    so without lineage truncation the logical plan doubles per round —
+    ``2^diameter`` leaves, which kills the driver on long chains long before
+    data size matters (cache alone does NOT truncate the logical plan).
+    Checkpointing keeps the plan O(1) per round; previous generations are
+    dereferenced immediately and reclaimed by Spark's ContextCleaner, so
+    executor storage stays O(nodes) amortized, not O(nodes × rounds).
+
+    Warns (and returns the partial labeling) if ``max_iter`` rounds pass
+    without reaching the fixpoint — component ids may then be split.
     """
     # undirected edge list, both directions
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     both = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     both = both.cache()
 
-    labels = both.select("u").distinct().withColumn("label", F.col("u"))
+    labels = both.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
-        # message: each node's label flows to its neighbors
-        msgs = both.join(labels, "u").select(F.col("v").alias("u"), "label")
-        new_labels = (
-            labels.unionByName(msgs)
+        msgs = (
+            both.join(labels, "u")
+            .select(F.col("v").alias("u"), "label")
+            .withColumn("__own", F.lit(False))
+        )
+        fused = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(msgs)
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__prev"),
+            )
+            .withColumn("__chg", F.col("label") < F.col("__prev"))
+            .localCheckpoint()  # eager: materializes the round, truncates lineage
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "u")
-            .filter(F.col("old.label") != F.col("new.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        any_changed = fused.agg(F.max("__chg").alias("c")).collect()[0]["c"]
+        labels = fused.drop("__prev", "__chg")
+        if not any_changed:
+            converged = True
             break
     both.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; component labels may be split — raise max_iter",
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -69,6 +69,29 @@ class TestCompile:
         df = spark.createDataFrame([("gold",), ("odd",), (None,)], "t string")
         assert self._eval(spark, df, "t %in% c('gold', 'silver')") == [True, False, False]
 
+    def test_na_in_set(self, spark):
+        # R %in% is match-based: NA %in% c(1, NA) is TRUE, 2 %in% c(1, NA) is
+        # FALSE (never NA) — unlike SQL IN's three-valued logic
+        df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+        assert self._eval(spark, df, "x %in% c(1, NA)") == [True, False, True]
+        assert self._eval(spark, df, "x %in% c(NA)") == [False, False, True]
+        assert self._eval(spark, df, "!(x %in% c(1, NA))") == [False, True, False]
+
+    def test_na_in_set_sql_emitter(self, spark):
+        import duckdb
+
+        from dataverifyr_spark.expr import to_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1), (2), (NULL)) v(x)")
+        got = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {to_sql('x %in% c(1, NA)')} FROM t ORDER BY x NULLS LAST"
+            ).fetchall()
+        ]
+        assert got == [True, False, True]
+
     def test_try_cast_coercion(self, spark):
         df = spark.createDataFrame([("10",), ("asd",), (None,)], "hp string")
         res = compile_expr("as.numeric(hp) > 0")

@@ -181,6 +181,31 @@ class TestConnectedComponents:
         assert comps[1] == comps[2] == comps[3] == comps[8] == comps[9] == 1
         assert comps[5] == comps[6] == 5
 
+    def test_long_chain_converges(self, spark):
+        # regression: a diameter-15 chain needs 15 rounds; without per-round
+        # lineage truncation (localCheckpoint) the self-referencing plan
+        # doubles per round and OOMs the driver even on 16 edges
+        from dataverifyr_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(15)], "id_a bigint, id_b bigint"
+        )
+        comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert all(comps[i] == 0 for i in range(16))
+
+    def test_warns_when_max_iter_exhausted(self, spark):
+        import warnings as _w
+
+        from dataverifyr_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+        )
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            connected_components(edges, max_iter=2).collect()
+        assert any("did not converge" in str(w.message) for w in caught)
+
     def test_near_dup_groups_end_to_end(self, spark, docs):
         from dataverifyr_spark.operators.components import near_dup_groups
 

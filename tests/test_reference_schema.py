@@ -43,6 +43,17 @@ class TestReferenceRule:
         r = _rows(res)[0]
         assert (r["tests"], r["pass"], r["fail"]) == (3, 2, 1)
 
+    def test_negate_allow_na_null_fails(self, spark):
+        # reference order: allow_na rescue FIRST, negate LAST
+        # (R/data_column.R:353-358) — NULL is rescued to ok=TRUE, then negated
+        # to FAIL.  AA: in-set → fail; BB: not-in → pass; NULL: rescued → fail.
+        rs = ruleset(
+            reference_rule("carrier", "carriers", "carrier_id", negate=True, allow_na=True)
+        )
+        res = check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs)
+        r = _rows(res)[0]
+        assert (r["tests"], r["pass"], r["fail"]) == (3, 1, 2)
+
     def test_missing_ref_dataset_is_error_row(self, spark):
         # test-features-v1.R:151-155
         rs = ruleset(reference_rule("carrier", "nope", "carrier_id"))
@@ -112,17 +123,42 @@ class TestSchemaChecks:
         assert all(r["pass"] == 1 for r in rows)
 
     def test_extra_columns_fail_policy(self, spark, df):
+        # reference stop()s on undeclared extras (R/data_column.R:223-225)
         rs = ruleset(data_columns=[data_column("a", "int")])
-        rows = _rows(check_data(df, rs, extra_columns="fail"))
-        extra_rows = [r for r in rows if r["name"].startswith("Extra column")]
-        assert {r["name"] for r in extra_rows} == {"Extra column: b", "Extra column: c"}
-        assert all(r["fail"] == 1 for r in extra_rows)
+        with pytest.raises(ValueError, match="extra columns"):
+            check_data(df, rs, extra_columns="fail")
+
+    def test_extra_columns_warn_policy(self, spark, df):
+        # reference warning()s (R/data_column.R:221-222) — must surface, not
+        # vanish into a dropped list
+        import warnings as _w
+
+        rs = ruleset(data_columns=[data_column("a", "int")])
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            rows = _rows(check_data(df, rs, extra_columns="warn"))
+        assert any("extra columns" in str(w.message) for w in caught)
+        assert all(r["pass"] == 1 for r in rows)
 
     def test_unknown_symbol_hard_stop(self, spark, df):
         # R/data_column.R:228-236
         rs = ruleset(rule("zz > 1"), data_columns=[data_column("a", "int")])
         with pytest.raises(ValueError, match="undeclared"):
             check_data(df, rs)
+
+    def test_unknown_symbol_skips_reference_rules(self, spark):
+        # the reference filters reference_rules out of the symbol check
+        # (R/data_column.R:228: expr_rules only) — a reference rule on a
+        # column with no data_column declaration must not hard-stop
+        rs = ruleset(
+            rule("carrier != ''", allow_na=True),
+            reference_rule("carrier", "carriers", "carrier_id"),
+            data_columns=[data_column("carrier", "string")],
+        )
+        fl = flights(spark).withColumnRenamed("carrier", "carrier2")
+        fl = fl.withColumn("carrier", fl["carrier2"])
+        res = check_data({"flights": fl, "carriers": carriers(spark)}, rs)
+        assert res.count() == 4  # 2 schema + 1 rule + 1 reference — no raise
 
     def test_stop_on_schema_fail(self, spark, df):
         rs = ruleset(data_columns=[data_column("z", "int")])
@@ -166,7 +202,12 @@ class TestReferenceViolations:
         from dataverifyr_spark.check import reference_violations
         from dataverifyr_spark import reference_rule as rr
 
-        for kw in ({}, {"allow_na": True}, {"negate": True}):
+        for kw in (
+            {},
+            {"allow_na": True},
+            {"negate": True},
+            {"negate": True, "allow_na": True},
+        ):
             r = rr("carrier", "carriers", "carrier_id", **kw)
             res = check_data(
                 {"flights": flights(spark), "carriers": carriers(spark)}, ruleset(r)
