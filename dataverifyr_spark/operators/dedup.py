@@ -13,6 +13,8 @@ aggregate for simhash bit-majority) — JVM-side, no Python UDFs.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +25,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "md5_hash32",
     "ngram_jaccard",
 ]
 
@@ -158,31 +161,55 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, pure column algebra:
-    per token a 64-bit hash; per bit, majority vote weighted by token count.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """SimHash over whitespace tokens, pure column algebra: per token a
+    hashed long; per bit, majority vote (±1 per token) > 0 → bit set.
 
-    Implemented as: for each bit b, sum(±1 per token) > 0 → bit set.  The
-    per-bit sums come from one ``aggregate`` over the token array per row —
-    no shuffle, no UDF.
+    ONE ``aggregate`` traversal of the token-hash array per row: the
+    accumulator is the length-``bits`` vote array, updated with ``zip_with``
+    against each token's ±1 bit votes (a per-bit ``aggregate`` pass — 64
+    array traversals per row — measured ~an order of magnitude slower and was
+    replaced).  No shuffle, no UDF.
+
+    ``token_hash`` swaps the per-token hash family (default ``xxhash64``) —
+    e.g. an md5-derived hash reproducible in other engines for
+    cross-validation (see ``md5_hash32``).
     """
     toks = F.split(_norm(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
-        )
-        bit_cols.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
+    th = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, th)
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return df.withColumn("simhash", sim)
+
+
+def md5_hash32(c: Column) -> Column:
+    """32-bit token hash derived from md5 — bit-for-bit reproducible in any
+    engine with md5 + hex parsing (DuckDB: ``('0x' || substr(md5(t),1,8))::bigint``),
+    used to cross-validate :func:`simhash` against an independent SQL oracle."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
 def ngram_jaccard(

@@ -102,6 +102,31 @@ class TestSimHash:
 
         assert hamming(out[1], out[3]) < hamming(out[1], out[5])
 
+    def test_simhash_matches_python_reference(self, spark):
+        # the single-pass vote-array fold must equal a direct per-bit
+        # implementation; md5_hash32 makes the token hash reproducible here
+        import hashlib
+
+        from dataverifyr_spark.operators.dedup import md5_hash32
+
+        texts = ["the quick brown fox", "pack my box with five dozen jugs", "a"]
+
+        def py_simhash(text, bits=32):
+            toks = " ".join(text.lower().strip().split()).split(" ")
+            votes = [0] * bits
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                for b in range(bits):
+                    votes[b] += 1 if h & (1 << b) else -1
+            return sum((1 << b) for b in range(bits) if votes[b] > 0)
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(df, bits=32, token_hash=md5_hash32).collect()
+        }
+        assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -293,6 +318,42 @@ class TestMultiprobeAndIVF:
         a = kmeans_fit(emb2, k=4, dim=8, iters=2)
         b = kmeans_fit(emb2, k=4, dim=8, iters=2)
         assert a == b
+
+    def test_assign_expr_and_pandas_paths_agree(self, spark, emb2):
+        # above _EXPR_ASSIGN_MAX the argmin runs as a broadcast pandas UDF;
+        # both strategies must yield the same cluster per row
+        import dataverifyr_spark.operators.ivf as ivf_mod
+        from dataverifyr_spark.operators.ivf import assign_clusters, kmeans_fit
+
+        cents = kmeans_fit(emb2, k=8, dim=8, iters=2)
+        expr_path = assign_clusters(emb2, cents)
+        orig = ivf_mod._EXPR_ASSIGN_MAX
+        ivf_mod._EXPR_ASSIGN_MAX = 0  # force the pandas-UDF path
+        try:
+            udf_path = assign_clusters(emb2, cents)
+        finally:
+            ivf_mod._EXPR_ASSIGN_MAX = orig
+        a = {r["vec_id"]: r["cluster"] for r in expr_path.collect()}
+        b = {r["vec_id"]: r["cluster"] for r in udf_path.collect()}
+        assert a == b
+
+    def test_assign_large_k_is_fast(self, spark):
+        # regression: k=512 x dim=64 (32k literal elements) took ~minute of
+        # Catalyst ANALYSIS in the expression path; the pandas path must keep
+        # end-to-end under a sane bound
+        import math as m
+        import time
+
+        from dataverifyr_spark.operators.ivf import assign_clusters
+
+        k, dim = 512, 64
+        cents = [[m.sin(i * 0.7 + d) for d in range(dim)] for i in range(k)]
+        rows = [(i, [m.cos(i * 0.3 + d) for d in range(dim)]) for i in range(500)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        t0 = time.time()
+        n = assign_clusters(df, cents).select("cluster").distinct().count()
+        assert n >= 2
+        assert time.time() - t0 < 30, "large-k assignment should not hit plan explosion"
 
 
 class TestTopkJoin:
