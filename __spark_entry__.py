@@ -192,23 +192,43 @@ def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_check(li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20, threshold=0.2)
 
 
-def q_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup candidate pairs above a cosine threshold (brute
-    force baseline path; the LSH-bucketed scale path is pytest-covered)."""
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a jittered copy of every vector (vec_id + 100000).
+
+    The jitter is integer arithmetic times an exact double constant —
+    ``v[i] + ((vec_id*7 + i) % 11) * 5e-4`` — so Spark and DuckDB derive
+    bit-identical vectors and the near-dup gate compares real numbers, not
+    approximations.  Cosine(orig, dup) ≈ 0.9997; all original-original pairs
+    sit below 0.52 (the table is random unit vectors), so the ground truth
+    is exactly one pair per vec_id."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(sim, 4).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.45)
+    dups = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x + ((F.col("vec_id") * 7 + i) % 11).cast("double") * F.lit(5e-4),
+        ).alias("v"),
     )
+    return emb.unionByName(dups)
+
+
+def q_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the SCALE path: banded hyperplane-LSH
+    bucketing → within-bucket equi-joins → exact cosine verify (no cross
+    join anywhere; the DuckDB oracle is the O(n²) brute force, so the gate
+    certifies LSH recall = 1.0 on the injected near-dups)."""
+    from dataverifyr_spark.operators.similarity import embedding_near_dup_pairs
+
+    allv = _embeddings_with_near_dups(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        allv, dim=64, threshold=0.99, bits=16, bands=6, vec_col="v"
+    )
+    # ids only: the claim under test is the exact pair SET (recall 1.0 vs the
+    # O(n²) oracle); the cosine VALUE is engine-fold-order sensitive in its
+    # 4th decimal and is value-gated separately by topk_embeddings
+    return pairs.select("id_a", "id_b")
 
 
 def q_check_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,30 +260,59 @@ def q_most_frequent_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("var", "most_frequent")
 
 
+def q_lsh_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH candidate pairs verified by exact 3-gram Jaccard ≥ 0.7 —
+    the scale path (band-bucket equi-join, hot-bucket cap), oracled against
+    DuckDB's exact ALL-PAIRS Jaccard: the gate certifies the LSH stage loses
+    no true pair on this corpus (32 hashes × 16 bands ⇒ per-pair miss
+    ≤ (1−j²)^16 ≈ 2e-5 at j = 0.7)."""
+    from dataverifyr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=32, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_bands=16)
+    texts = docs.select("doc_id", "text")
+    enriched = pairs.join(
+        texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a"
+    ).join(
+        texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b"
+    )
+    verified = ngram_jaccard(enriched, "text_a", "text_b", k=3)
+    return verified.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b", "jaccard")
+
+
 def q_near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash→LSH→Jaccard→connected-components dedup groups (rows-only
-    check: distributed CC is not reasonably SQL-expressible)."""
+    """MinHash→LSH→Jaccard→connected-components dedup groups, oracled by a
+    DuckDB recursive-CTE reachability over the exact-Jaccard pair list."""
     from dataverifyr_spark.operators.components import near_dup_groups
 
     docs = _t(spark, sf_dir, "documents")
-    return near_dup_groups(docs, num_hashes=32, num_bands=8, jaccard_threshold=0.7)
+    return near_dup_groups(docs, num_hashes=32, num_bands=16, jaccard_threshold=0.7)
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only: xxhash64 not in DuckDB)."""
-    from dataverifyr_spark.operators.dedup import simhash
+    """32-bit SimHash fingerprints with the md5-derived token-hash family so
+    DuckDB reproduces the exact values (single aggregate pass per row)."""
+    from dataverifyr_spark.operators.dedup import md5_hash32, simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs.select("doc_id", "text"), bits=16).select("doc_id", "simhash")
+    return simhash(docs.select("doc_id", "text"), bits=32, token_hash=md5_hash32).select(
+        "doc_id", "simhash"
+    )
 
 
 def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graft flagship: validate a deterministic audio clip + transcript
     table (input_hint schema) — decode, SNR-vs-regenerated-waveform allclose,
-    transcript equality, sr/dur consistency — in one fused scan.  Not
-    SQL-expressible (binary decode), so no oracle entry: the driver records
-    the rows-only check; pytest pins the exact pass/fail goldens
-    (tests/test_audio.py)."""
+    transcript equality, sr/dur consistency — in one fused scan.  The decode
+    itself is not SQL-expressible, but the fixture's violation-injection
+    cadence is pure index arithmetic (audio/fixtures.py:42-48), so the oracle
+    recomputes every rule's expected pass/fail from generate_series — the
+    Spark side must hit the exact counts through real WAV decoding."""
     from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
 
     clips = clips_table(spark, 2000)
@@ -288,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_by_event_type": q_check_by_event_type,
         "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
+        "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
@@ -479,16 +529,137 @@ def oracle_sql() -> dict[str, str]:
     FROM j
     """
 
+    # brute-force oracle over the same derived (orig ∪ jittered-dup) table the
+    # Spark LSH path reads — the jitter is integer arithmetic, bit-identical
+    # in both engines (see _embeddings_with_near_dups)
     near_dup = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
-    FROM e a, e b
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dups AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(0, len(v)),
+                            i -> v[i + 1] + CAST((vec_id * 7 + i) % 11 AS DOUBLE) * 0.0005) AS v
+      FROM base
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM allv a, allv b
     WHERE a.vec_id < b.vec_id
-      AND ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
     """
+
+    # shared shingle CTEs: 3-gram shingles over the same normalization Spark's
+    # shingles() applies (lower, trim, collapse whitespace); docs shorter than
+    # k collapse to one whole-text shingle
+    shingle_cte = """
+    docs_n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM docs_n),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 3
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                               i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [t] END) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )"""
+
+    lsh_jaccard = f"""
+    WITH {shingle_cte}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7
+    """
+
+    # components: min-reachable-id via recursive CTE over the exact-Jaccard
+    # edge list; every doc seeds its own label, so isolated docs keep their id
+    near_dup_groups = f"""
+    WITH RECURSIVE {shingle_cte},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.7),
+    bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component, node = MIN(lab) AS is_kept
+    FROM reach GROUP BY node
+    """
+
+    # simhash: identical md5-low-32 token hash family + per-bit majority vote
+    simhash = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+    # audio: the fixture injects violations at pure index cadences
+    # (audio/fixtures.py:42-48); recompute each rule's expected counts from
+    # generate_series(0, 1999) — no audio decoding needed on the oracle side
+    def audio_rule_row(name: str, expr: str, pass_cond: str) -> str:
+        return f"""
+    SELECT 'row_rule' AS check_type, '{name}' AS name, '{expr}' AS expr,
+           FALSE AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM flags"""
+
+    audio_flags = """
+    WITH flags AS (
+      SELECT i,
+             (i > 0 AND i % 41 = 0) AS corrupt,
+             (i > 0 AND i % 17 = 0) AS bad_sr,
+             (i > 0 AND i % 23 = 0) AS bad_dur,
+             (i > 0 AND i % 31 = 0) AS empty_t,
+             (i > 0 AND i % 37 = 0) AS null_t
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    """
+    audio = audio_flags + " UNION ALL ".join(
+        [
+            audio_rule_row("decodes", "audio_valid", "NOT corrupt"),
+            audio_rule_row("sr_consistent", "audio_sr == sr_hz", "NOT corrupt AND NOT bad_sr"),
+            audio_rule_row(
+                "dur_consistent", "abs(audio_dur_ms - dur_ms) <= 2",
+                "NOT corrupt AND NOT bad_dur",
+            ),
+            audio_rule_row("pcm_allclose_snr", "audio_snr_db >= 30.0", "NOT corrupt"),
+            audio_rule_row(
+                "transcript_equal", "audio_transcript_ok", "NOT empty_t AND NOT null_t"
+            ),
+            audio_rule_row(
+                "transcript_nonempty", "nchar(trimws(transcript)) > 0",
+                "NOT empty_t AND NOT null_t",
+            ),
+        ]
+    )
 
     check_by_event = """
     SELECT event_type, 'e1' AS name, 'value > 0' AS expr,
@@ -532,6 +703,10 @@ def oracle_sql() -> dict[str, str]:
     """,
         "drift_psi_lineitem": drift,
         "near_dup_pairs_embeddings": near_dup,
+        "lsh_jaccard_pairs_documents": lsh_jaccard,
+        "near_dup_groups_documents": near_dup_groups,
+        "simhash_documents": simhash,
+        "audio_validate_clips": audio,
         "check_by_event_type": check_by_event,
         "violations_customer": violations,
         "reference_orders_customer": reference,
