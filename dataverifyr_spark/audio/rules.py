@@ -48,47 +48,6 @@ def _decode(blob) -> tuple[np.ndarray, int] | None:
         return None
 
 
-def _audio_valid_impl(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: _decode(b) is not None)
-
-
-def _audio_n_samples_impl(blobs: pd.Series) -> pd.Series:
-    def f(b):
-        d = _decode(b)
-        return None if d is None else len(d[0])
-
-    return blobs.map(f)
-
-
-def _audio_sr_impl(blobs: pd.Series) -> pd.Series:
-    def f(b):
-        d = _decode(b)
-        return None if d is None else d[1]
-
-    return blobs.map(f)
-
-
-def _audio_dur_ms_impl(blobs: pd.Series) -> pd.Series:
-    def f(b):
-        d = _decode(b)
-        if d is None or d[1] == 0:
-            return None
-        return len(d[0]) / d[1] * 1000.0
-
-    return blobs.map(f)
-
-
-def _audio_rms_impl(blobs: pd.Series) -> pd.Series:
-    def f(b):
-        d = _decode(b)
-        if d is None or len(d[0]) == 0:
-            return None
-        x = d[0].astype(np.float64) / 32768.0
-        return float(np.sqrt(np.mean(x * x)))
-
-    return blobs.map(f)
-
-
 def _audio_snr_vs_expected_impl(clip_ids: pd.Series, blobs: pd.Series) -> pd.Series:
     # late import keeps fixtures optional on the hot path
     from .fixtures import clip_index, expected_pcm
@@ -122,14 +81,49 @@ def _transcript_matches_expected_impl(clip_ids: pd.Series, transcripts: pd.Serie
     return pd.Series([f(c, t) for c, t in zip(clip_ids, transcripts)], dtype="object")
 
 
+def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
+    """All bytes-derived features from ONE decode per clip (the shared probe
+    every bytes-family dialect function compiles onto)."""
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms")}
+    for b in blobs:
+        d = _decode(b)
+        if d is None:
+            out["valid"].append(False)
+            for k in ("n_samples", "sr", "dur_ms", "rms"):
+                out[k].append(None)
+            continue
+        samples, sr = d
+        out["valid"].append(True)
+        out["n_samples"].append(len(samples))
+        out["sr"].append(sr)
+        out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
+        if len(samples):
+            x = samples.astype(np.float64) / 32768.0
+            out["rms"].append(float(np.sqrt(np.mean(x * x))))
+        else:
+            out["rms"].append(None)
+    return pd.DataFrame(out)
+
+
+_BYTES_PROBE_TYPE = "valid boolean, n_samples bigint, sr int, dur_ms double, rms double"
+
+# bytes-family dialect functions are FIELDS of the shared probe: every
+# occurrence compiles to the structurally-identical probe(bytes) expression,
+# and Spark evaluates structurally-equal Python UDF calls ONCE per row — so a
+# 5-audio-rule check through the raw dialect spelling decodes each clip once,
+# not five times (verified by plan inspection: one ArrowEvalPython entry)
+_PROBE_FIELDS = {
+    "audio_valid": "valid",
+    "audio_n_samples": "n_samples",
+    "audio_sr": "sr",
+    "audio_dur_ms": "dur_ms",
+    "audio_rms": "rms",
+}
+
 # name -> (plain impl, return DDL type, arity); pandas_udf wrapping is lazy
 # because the DDL type string parse needs an active SparkSession
 _UDFS = {
-    "audio_valid": (_audio_valid_impl, "boolean", 1),
-    "audio_n_samples": (_audio_n_samples_impl, "bigint", 1),
-    "audio_sr": (_audio_sr_impl, "int", 1),
-    "audio_dur_ms": (_audio_dur_ms_impl, "double", 1),
-    "audio_rms": (_audio_rms_impl, "double", 1),
+    "audio_bytes_probe": (_audio_bytes_probe_impl, _BYTES_PROBE_TYPE, 1),
     "audio_snr_vs_expected": (_audio_snr_vs_expected_impl, "double", 2),
     "transcript_matches_expected": (_transcript_matches_expected_impl, "boolean", 2),
 }
@@ -143,10 +137,27 @@ def _get_udf(name: str):
         _udf_cache[name] = pandas_udf(impl, typ)
     return _udf_cache[name]
 
+
 def register_audio_functions() -> None:
-    """(Re-)expose every _UDFS entry to the rule-expression dialect;
-    idempotent — register_function overwrites."""
+    """(Re-)expose the audio dialect functions; idempotent — bytes-family
+    names share the single-decode probe, the two (clip_id, ·) functions stay
+    standalone UDFs (an SNR rule therefore adds one more decode — its
+    waveform regeneration dominates the decode anyway)."""
+    for name, field in _PROBE_FIELDS.items():
+
+        def make_field_builder(n, f):
+            def builder(ctx, nodes, cols: list[Column]) -> Column:
+                if len(cols) != 1:
+                    raise ValueError(f"{n}() expects 1 argument, got {len(cols)}")
+                return _get_udf("audio_bytes_probe")(cols[0]).getField(f)
+
+            return builder
+
+        register_function(name, make_field_builder(name, field))
+
     for name, (_impl, _typ, arity) in _UDFS.items():
+        if name == "audio_bytes_probe":
+            continue  # not a dialect function — the probe fields above are
 
         def make_builder(n, a):
             def builder(ctx, nodes, cols: list[Column]) -> Column:
@@ -163,13 +174,14 @@ register_audio_functions()
 
 
 # ---------------------------------------------------------------------------
-# Fused single-decode probe — the at-scale path.
+# Full probe (clip_id + bytes + transcript) for with_audio_features.
 #
-# Each dialect UDF above decodes the blob independently, so a 5-audio-rule
-# check decodes every clip 5 times.  ``with_audio_features`` decodes ONCE per
-# clip in a single Arrow pass and emits plain columns; the audio rules then
-# become ordinary Catalyst predicates over those columns and fuse into the
-# same one-scan check_data aggregation as any other rule.
+# The dialect above already shares one decode across all bytes-family rules;
+# ``with_audio_features`` goes one step further — a single Arrow pass emits
+# every feature INCLUDING the clip_id-derived ones (SNR vs regenerated
+# waveform, transcript equality) as plain columns, so the audio rules become
+# ordinary Catalyst predicates that fuse into the one-scan check_data
+# aggregation like any other rule.
 # ---------------------------------------------------------------------------
 
 _PROBE_TYPE = (

@@ -145,6 +145,37 @@ class TestFusedProbe:
                 multi[name]["fail"],
             ), name
 
+    def test_dialect_bytes_rules_share_one_decode(self, spark, clips):
+        """All bytes-family dialect functions compile onto the SAME
+        audio_bytes_probe(bytes) expression, which Spark evaluates once per
+        row — the physical plan must show exactly one ArrowEvalPython node
+        with one probe slot for a 5-audio-rule fused aggregate."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.check import compile_rule_predicate
+
+        rules = dv.ruleset(
+            dv.rule("audio_valid(bytes)"),
+            dv.rule("audio_sr(bytes) == sr_hz"),
+            dv.rule("abs(audio_dur_ms(bytes) - dur_ms) <= 2"),
+            dv.rule("audio_rms(bytes) > 0.001", allow_na=True),
+            dv.rule("audio_n_samples(bytes) > 0"),
+        )
+        preds = [compile_rule_predicate(r).column for r in rules]
+        agg = clips.agg(
+            *[F.sum(F.when(p, 1).otherwise(0)).alias(f"p{i}") for i, p in enumerate(preds)]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        arrow_lines = [ln for ln in phys.splitlines() if "ArrowEvalPython" in ln]
+        assert len(arrow_lines) == 1, phys
+        assert arrow_lines[0].count("_audio_bytes_probe") == 1, arrow_lines[0]
+
     def test_violations_on_probe_columns(self, spark, clips):
         from dataverifyr_spark.audio import audio_ruleset, with_audio_features
 
