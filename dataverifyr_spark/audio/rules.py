@@ -133,8 +133,13 @@ _udf_cache: dict[str, object] = {}
 
 def _get_udf(name: str):
     if name not in _udf_cache:
+        from ..udf_warnings import capturing
+
         impl, typ, _ = _UDFS[name]
-        _udf_cache[name] = pandas_udf(impl, typ)
+        # capture Python warnings raised inside batches so check_data can
+        # surface them in the warn column (reference records any evaluation
+        # warning, R/check_data.R:248-253)
+        _udf_cache[name] = pandas_udf(capturing(name, impl), typ)
     return _udf_cache[name]
 
 

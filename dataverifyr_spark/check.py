@@ -42,7 +42,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .expr import CompileResult, ExprError, col_ref, compile_expr
+from . import udf_warnings
+from .expr import CompileResult, ExprError, col_ref, compile_expr, get_called_functions
 from .rules import DataColumn, ReferenceRule, Rule, Ruleset, ruleset, validate_data_columns
 
 __all__ = ["check_data", "CheckDataError", "RESULT_SCHEMA", "compile_rule_predicate"]
@@ -364,11 +365,24 @@ def check_data(
     extra_columns: str = "ignore",
     data_name: str | None = None,
     spark: SparkSession | None = None,
+    timing: str = "shared",
 ) -> DataFrame:
     """Run a ruleset against a dataset; return the 11-column summary DataFrame.
 
     Row-order contract (R/check_data.R:127-144): schema rows first, then
     row_rules in ruleset order, then reference rules.
+
+    ``timing`` semantics for the ``time`` column: the reference evaluates one
+    scan per rule, so its per-rule times are real; this engine fuses all
+    expression rules into ONE scan, so true per-rule cost does not exist.
+
+    - ``"shared"`` (default): each rule's ``time`` is the fused scan's wall
+      time divided evenly — total across rules equals real wall time, the
+      per-rule split is nominal.
+    - ``"per_rule"``: after the fused pass, each rule's predicate is ALSO
+      timed in its own single-rule aggregation job and that wall time is
+      reported — reference-comparable numbers, at the cost of N extra scans
+      (use for profiling, never in production pipelines).
     """
     if isinstance(rules, str):
         from .io import read_rules
@@ -378,6 +392,8 @@ def check_data(
         rules = ruleset(rules)
     if extra_columns not in ("ignore", "warn", "fail"):
         raise ValueError("extra_columns must be one of ignore/warn/fail")
+    if timing not in ("shared", "per_rule"):
+        raise ValueError("timing must be 'shared' or 'per_rule'")
 
     df, datasets, primary_name = _resolve_datasets(x, data_name or rules.data_name, spark)
     spark = spark or df.sparkSession
@@ -408,6 +424,7 @@ def check_data(
         aggs.append(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{i}"))
         for j, w in enumerate(c.watchers):
             aggs.append(F.sum(F.when(w, F.lit(1)).otherwise(F.lit(0))).alias(f"__w{i}_{j}"))
+    warn_before = udf_warnings.snapshot()
     if good or expr_rules or ref_rules:
         agg_row = scan_df.agg(*aggs).collect()[0].asDict()
     else:
@@ -415,6 +432,20 @@ def check_data(
     tests = int(agg_row["__tests"])
     scan_elapsed = _time.perf_counter() - t0
     per_rule_time = scan_elapsed / max(len(good), 1)
+
+    rule_times: dict[int, float] = {}
+    if timing == "per_rule":
+        for i, c in enumerate(good):
+            t1 = _time.perf_counter()
+            scan_df.agg(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0)))).collect()
+            rule_times[i] = _time.perf_counter() - t1
+
+    # executor-side warnings raised inside UDF batches during THIS job,
+    # attributed to the rules whose expressions call the warning function
+    # (reference records any evaluation warning, R/check_data.R:248-253)
+    fn_warns: dict[str, list[str]] = {}
+    for fn, msg in sorted(udf_warnings.new_since(warn_before)):
+        fn_warns.setdefault(fn, []).append(msg)
 
     row_results: list[dict[str, Any]] = []
     gi = 0
@@ -424,13 +455,26 @@ def check_data(
             row_results.append(_result_row(c.rule, tests, 0, error=c.error, elapsed=0.0))
         else:
             passed = int(agg_row[f"__p{gi}"] or 0)
-            warn = ""
+            warns: list[str] = []
             if c.watchers and any(
                 int(agg_row[f"__w{gi}_{j}"] or 0) > 0 for j in range(len(c.watchers))
             ):
-                warn = _COERCION_WARN
+                warns.append(_COERCION_WARN)
+            if fn_warns:
+                try:
+                    called = get_called_functions(c.rule.expr)
+                except ExprError:
+                    called = []
+                for fn in called:
+                    warns.extend(m for m in fn_warns.get(fn, ()) if m not in warns)
             row_results.append(
-                _result_row(c.rule, tests, passed, warn=warn, elapsed=per_rule_time)
+                _result_row(
+                    c.rule,
+                    tests,
+                    passed,
+                    warn="; ".join(warns),
+                    elapsed=rule_times.get(gi, per_rule_time),
+                )
             )
             gi += 1
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "compile_expr",
     "get_symbols",
+    "get_called_functions",
     "register_function",
     "ExprError",
     "CompileResult",
@@ -371,6 +372,32 @@ def get_symbols(expr: str | Node) -> list[str]:
     node = parse_expr(expr) if isinstance(expr, str) else expr
     out: list[str] = []
     _walk_symbols(node, out)
+    return out
+
+
+def get_called_functions(expr: str | Node) -> list[str]:
+    """Function names called anywhere in the expression (unique, in order) —
+    used to attribute executor-side UDF warnings back to the rules that
+    invoked the warning function (check_data's warn column)."""
+    node = parse_expr(expr) if isinstance(expr, str) else expr
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Call):
+            if n.func not in out:
+                out.append(n.func)
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, Unary):
+            walk(n.operand)
+        elif isinstance(n, Binary):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, InSet):
+            walk(n.needle)
+            walk(n.haystack)
+
+    walk(node)
     return out
 
 

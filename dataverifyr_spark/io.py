@@ -27,16 +27,19 @@ _V1_SECTIONS = ("meta", "data-columns", "data-rules")
 
 
 def _rule_to_mapping(r: Rule) -> dict[str, Any]:
+    # key order matches R's rule object: name/expr/flags, reference cols,
+    # user extras, index LAST (ruleset() appends it) — the byte-exact
+    # fixtures in tests/testthat/test-im-export.R:44-58 pin this order
     d: dict[str, Any] = {
         "name": r.name,
         "expr": r.expr,
         "allow_na": r.allow_na,
         "negate": r.negate,
-        "index": r.index,
     }
     if isinstance(r, ReferenceRule):
         d.update(local_col=r.local_col, ref_dataset=r.ref_dataset, ref_col=r.ref_col)
     d.update(r.extra)
+    d["index"] = r.index
     return d
 
 
@@ -50,25 +53,76 @@ def _col_to_mapping(c: DataColumn) -> dict[str, Any]:
     return d
 
 
+def _yaml_scalar(v: Any) -> str:
+    """One scalar, R yaml::write_yaml style: ``~`` for NULL, ``yes``/``no``
+    booleans, strings single-quoted only when a plain scalar would not read
+    back as the same string (colon-space, leading specials, date-like,
+    bool-like, numeric-like, ...)."""
+    if v is None:
+        return "~"
+    if isinstance(v, bool):
+        return "yes" if v else "no"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = str(v)
+    try:
+        plain_ok = "\n" not in s and yaml.safe_load(s) == s
+    except yaml.YAMLError:
+        plain_ok = False
+    return s if plain_ok else "'" + s.replace("'", "''") + "'"
+
+
+def _emit_value(key: str, v: Any, lines: list[str]) -> None:
+    """Emit ``key: value`` at top level, R yaml::write_yaml layout: empty
+    list → ``[]``, list of mappings → ``- k: v`` items at the same indent,
+    nested mapping → 2-space-indented keys."""
+    if isinstance(v, list):
+        if not v:
+            lines.append(f"{key}: []")
+            return
+        lines.append(f"{key}:")
+        for item in v:
+            _emit_list_item(item, lines)
+    elif isinstance(v, dict):
+        if not v:
+            lines.append(f"{key}: ~")
+            return
+        lines.append(f"{key}:")
+        for k2, v2 in v.items():
+            lines.append(f"  {k2}: {_yaml_scalar(v2)}")
+    else:
+        lines.append(f"{key}: {_yaml_scalar(v)}")
+
+
+def _emit_list_item(item: dict[str, Any], lines: list[str]) -> None:
+    first = True
+    for k, v in item.items():
+        prefix = "- " if first else "  "
+        lines.append(f"{prefix}{k}: {_yaml_scalar(v)}")
+        first = False
+
+
 def write_rules(rs: Ruleset | Rule, path: str, format: str = "v1") -> None:
+    """Emit the reference's exact byte format (yaml::write_yaml layout) so
+    files written here are line-identical with the R package's output —
+    pinned against tests/testthat/test-im-export.R:9-26,:42-58,:73-86,:99-108.
+    """
     if isinstance(rs, Rule):
         rs = Ruleset([rs])
     if os.path.splitext(path)[1].lower() not in (".yml", ".yaml"):
         raise ValueError("rules file must end in .yml or .yaml (R/im-export.R:22)")
+    lines: list[str] = []
     if format == "v1":
-        doc: dict[str, Any] = {}
-        if rs.meta:
-            doc["meta"] = dict(rs.meta)
-        if rs.data_columns:
-            doc["data-columns"] = [_col_to_mapping(c) for c in rs.data_columns]
-        doc["data-rules"] = [_rule_to_mapping(r) for r in rs.rules]
-        payload: Any = doc
+        _emit_value("meta", dict(rs.meta) if rs.meta else None, lines)
+        _emit_value("data-columns", [_col_to_mapping(c) for c in rs.data_columns], lines)
+        _emit_value("data-rules", [_rule_to_mapping(r) for r in rs.rules], lines)
     elif format == "pre_v1":
-        payload = [_rule_to_mapping(r) for r in rs.rules]
+        for r in rs.rules:
+            _emit_list_item(_rule_to_mapping(r), lines)
     else:
         raise ValueError(f"unknown format {format!r}; use 'v1' or 'pre_v1'")
     with open(path, "w") as fh:
-        yaml.safe_dump(payload, fh, sort_keys=False, default_flow_style=False)
+        fh.write("\n".join(lines) + "\n")
 
 
 def _mapping_to_rule(d: dict[str, Any]) -> Rule:

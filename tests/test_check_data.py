@@ -111,6 +111,51 @@ class TestStopGates:
         )
         assert _rows(res)[0]["fail"] == 0
 
+    def test_timing_modes(self, spark, cars_df):
+        # shared (default): fused wall time split evenly — all rows equal;
+        # per_rule: each rule timed in its own job — independent positive times
+        rs = ruleset(rule("mpg > 10"), rule("cyl %in% c(4, 6, 8)"), rule("wt > 1"))
+        shared = [r["time"] for r in _rows(check_data(cars_df, rs))]
+        assert len(set(shared)) == 1 and shared[0] > 0
+        per_rule = [r["time"] for r in _rows(check_data(cars_df, rs, timing="per_rule"))]
+        assert all(t > 0 for t in per_rule)
+        with pytest.raises(ValueError, match="timing"):
+            check_data(cars_df, rs, timing="nope")
+
+    def test_udf_warning_captured_and_attributed(self, spark, cars_df):
+        """A Python warning raised inside a UDF batch on the EXECUTOR lands in
+        the warn column of exactly the rules that call that function
+        (reference records any evaluation warning, R/check_data.R:248-253)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from dataverifyr_spark.expr import register_function
+        from dataverifyr_spark.udf_warnings import capturing
+
+        def _grumpy_impl(s: pd.Series) -> pd.Series:
+            import warnings as w
+
+            w.warn("deprecated threshold semantics")
+            return s > 15
+
+        udf_holder = {}
+
+        def builder(ctx, nodes, cols):
+            if "u" not in udf_holder:
+                udf_holder["u"] = pandas_udf(capturing("grumpy_gt15", _grumpy_impl), "boolean")
+            return udf_holder["u"](cols[0])
+
+        register_function("grumpy_gt15", builder)
+        res = _rows(
+            check_data(
+                cars_df,
+                ruleset(rule("grumpy_gt15(mpg)", name="warns"), rule("mpg > 0", name="clean")),
+            )
+        )
+        by = {r["name"]: r for r in res}
+        assert "deprecated threshold semantics" in by["warns"]["warn"]
+        assert by["clean"]["warn"] == ""
+
 
 class TestOrdersReadme:
     # README.md:108-150 golden: each rule tests=8, pass=6, fail=2

@@ -133,3 +133,66 @@ class TestYaml(object):
     def test_bad_extension_rejected(self, tmp_path):
         with pytest.raises(ValueError, match=".yml"):
             write_rules(ruleset(rule("x > 1")), str(tmp_path / "rules.json"))
+
+
+_FIXTURES = __import__("os").path.join(__import__("os").path.dirname(__file__), "fixtures")
+
+
+class TestRYamlFixtures:
+    """Byte-exact compatibility with the R package's yaml::write_yaml output.
+
+    The fixture files are verbatim copies of the expected bytes pinned in the
+    reference's own tests (tests/testthat/test-im-export.R:9-26,:42-58,
+    :73-86,:99-108) — files a real R user's pipeline would produce."""
+
+    def _fx(self, name):
+        import os
+
+        return os.path.join(_FIXTURES, name)
+
+    def test_read_r_emitted_v1(self):
+        back = read_rules(self._fx("r_v1_basic.yml"))
+        assert [r.expr for r in back] == ["mpg > 10", "cyl %in% c(4, 6, 8)"]
+        assert [r.name for r in back] == ["Rule for: mpg", "Rule for: cyl"]
+        assert all(not r.allow_na and not r.negate for r in back)
+        assert back.data_columns == [] and back.meta == {}
+
+    def test_read_r_emitted_extra_keys(self):
+        back = read_rules(self._fx("r_v1_extra_keys.yml"))
+        assert back[0].extra == {"author": "me"}
+        # R quotes '2020-02-29' so it reads back as a STRING, not a date
+        assert back[1].extra == {"date": "2020-02-29"}
+
+    def test_read_r_emitted_pre_v1(self):
+        back = read_rules(self._fx("r_pre_v1.yml"))
+        assert len(back) == 1 and back[0].expr == "mpg > 10"
+
+    def test_write_matches_r_bytes_v1(self, tmp_path):
+        rs = ruleset(rule("mpg > 10"), rule("cyl %in% c(4, 6, 8)"))
+        p = str(tmp_path / "out.yml")
+        write_rules(rs, p)
+        assert open(p).read() == open(self._fx("r_v1_basic.yml")).read()
+
+    def test_write_matches_r_bytes_extra_keys(self, tmp_path):
+        rs = ruleset(rule("mpg > 10", author="me"), rule("cyl %in% c(4, 6, 8)", date="2020-02-29"))
+        p = str(tmp_path / "out.yml")
+        write_rules(rs, p)
+        assert open(p).read() == open(self._fx("r_v1_extra_keys.yml")).read()
+
+    def test_write_matches_r_bytes_single_rule(self, tmp_path):
+        p = str(tmp_path / "out.yml")
+        write_rules(rule("mpg > 10"), p)
+        assert open(p).read() == open(self._fx("r_v1_single.yml")).read()
+
+    def test_write_matches_r_bytes_pre_v1(self, tmp_path):
+        p = str(tmp_path / "out.yml")
+        write_rules(ruleset(rule("mpg > 10")), p, format="pre_v1")
+        assert open(p).read() == open(self._fx("r_pre_v1.yml")).read()
+
+    def test_r_bytes_round_trip(self, tmp_path):
+        # read the R file, write it back out: bytes must survive unchanged
+        for fx in ("r_v1_basic.yml", "r_v1_extra_keys.yml", "r_v1_single.yml"):
+            back = read_rules(self._fx(fx))
+            p = str(tmp_path / fx)
+            write_rules(back, p)
+            assert open(p).read() == open(self._fx(fx)).read(), fx
