@@ -1,8 +1,15 @@
 """Dataset sources and result sinks.
 
-The north_star targets Iceberg tables; this sandbox has no Iceberg runtime
-jars, so ``load_table`` resolves in order — Iceberg catalog table →
-``format("iceberg")`` path → parquet path — and reports which path it took.
+The north_star targets Iceberg tables.  This sandbox ships no
+iceberg-spark-runtime jar and has no network to pull one (verified: Maven
+unreachable, DNS fails), so the Iceberg branches cannot run end-to-end here.
+What IS tested: the catalog branch via a real spark_catalog table (the same
+``spark.read.table`` path an Iceberg catalog serves), the error surface when
+the Iceberg format is requested without the runtime, and partition-pruned
+validation over a partitioned table (PartitionFilters in the scan — the
+pruning mechanism Iceberg provides through its catalog).  On a real cluster,
+add ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` plus a
+catalog config and ``load_table`` resolves Iceberg first with no code change.
 At 100 TB the Iceberg route buys partition pruning + min/max file skipping
 for free once rules compile to Column predicates (Catalyst pushes them down).
 
