@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 import dataverifyr_spark as dv
 from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
-from dataverifyr_spark.operators.dedup import exact_dup_groups, lsh_candidate_pairs, minhash_signatures
+from dataverifyr_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
 from dataverifyr_spark.operators.similarity import brute_force_topk
 from dataverifyr_spark.operators.uniqueness import distinct_count_salted
 
@@ -45,7 +50,7 @@ def make_spark(cores: int) -> SparkSession:
         app_name="dataverifyr-spark-bench",
         shuffle_partitions=max(cores, 8),
         spark_ui_enabled="false",
-        spark_driver_memory="16g",
+        spark_driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     )
 
 
@@ -117,6 +122,35 @@ def bench_queries(spark: SparkSession, sf_dir: str, cores: int) -> tuple[dict[st
             minhash_signatures(docs, num_hashes=32), num_bands=8
         ).count(),
     )
+    run(
+        "simhash_documents",
+        lambda: simhash(docs, bits=64)
+        .agg(F.count(F.when(F.col("simhash") > 0, 1)))
+        .collect(),
+    )
+
+    # hot-key FK: 90% of orders share one custkey, broadcast DISABLED so the
+    # membership join takes the sort-merge shape of a too-big-to-broadcast
+    # reference at 10^12 rows; AQE skew-join (session default) splits the hot
+    # partition — this entry proves the reference check stays flat under skew
+    ords_skew = ords.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 != 0, F.lit(7).cast("long")).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+
+    def skewed_fk():
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dv.check_data(
+                {"orders": ords_skew, "customer": cust},
+                dv.ruleset(dv.reference_rule("o_custkey", "customer", "c_custkey")),
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    run("reference_fk_skewed_smj", skewed_fk)
 
     def topk():
         qvec = [float(v) for v in emb.select("embedding").head()[0]]
@@ -259,7 +293,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total_wall_8_headline_queries",
+                "metric": f"total_wall_{len(timings)}_headline_queries",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

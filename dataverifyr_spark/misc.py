@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["detect_backend", "plot_res", "pretty_val"]
+__all__ = ["detect_backend", "plot_res", "plot_res_table", "pretty_val", "round_down"]
 
 
 def detect_backend(x) -> str:
@@ -28,17 +28,60 @@ def detect_backend(x) -> str:
     raise TypeError(f"cannot detect a backend for {type(x).__name__}")
 
 
-def pretty_val(v: float) -> str:
-    """1e3/1e6/1e9 suffix formatting (R/visualization.R:84-110)."""
-    for cut, suf in ((1e9, "B"), (1e6, "M"), (1e3, "K")):
-        if abs(v) >= cut:
-            x = v / cut
-            return f"{x:.1f}{suf}".replace(".0", "")
-    return str(int(v)) if float(v).is_integer() else f"{v:g}"
+def round_down(x: float, digits: int = 2) -> float:
+    """Floor at ``digits`` decimals — 99.999999 → 99.99, never rounding a
+    not-quite-perfect pass rate up to 100% (R/visualization.R:85-87)."""
+    import math
+
+    scale = 10**digits
+    return math.floor(x * scale) / scale
 
 
-def plot_res(res: DataFrame, ax=None):
-    """Horizontal stacked pass/fail barplot of a check_data result
+def pretty_val(x, digits: int = 2, digits_small: bool = False, align: bool = True):
+    """bln/mln/k suffix formatting, R-faithful (R/visualization.R:90-110):
+    two decimals with the suffix, trailing ``.0+`` stripped for plain values,
+    right-aligned across a vector.  Scalar in → scalar out."""
+    import re
+
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    out = []
+    for v in xs:
+        r = str(v)
+        for name, brk in (("bln", 1e9), ("mln", 1e6), ("k", 1e3), ("", 1)):
+            q = abs(v) // brk
+            if 0 < q < 1000:
+                r = f"{v / brk:.{digits}f}{name}"
+            elif v == 0:
+                r = f"{v:.{digits}f}"
+        out.append(r.strip())
+    if align:
+        width = max(len(r) for r in out)
+        out = [r.rjust(width) for r in out]
+    if not digits_small:
+        out = [re.sub(r"\.0+$", "", r) for r in out]
+    return out if isinstance(x, (list, tuple)) else out[0]
+
+
+def plot_res_table(rows) -> list[tuple[str, str, str, str]]:
+    """The legend-table half of plot_res (R/visualization.R:66-81): one
+    (name, pass, fail, total) row per rule with pretty_val-formatted counts,
+    plus the header.  Pure data — renders via matplotlib in plot_res, usable
+    standalone (and testable) without it."""
+    body = [
+        (
+            r["name"],
+            pretty_val(r["pass"], align=False),
+            pretty_val(r["fail"], align=False),
+            pretty_val(r["tests"], align=False),
+        )
+        for r in rows
+    ]
+    return [("", "Pass", "Fail", "Total")] + body
+
+
+def plot_res(res: DataFrame, ax=None, labels: bool = True, table: bool = True):
+    """Horizontal stacked pass/fail barplot of a check_data result with
+    in-bar percentage labels and the per-rule count legend table
     (R/visualization.R:23-81).  Requires matplotlib; returns the axis."""
     try:
         import matplotlib.pyplot as plt
@@ -50,10 +93,32 @@ def plot_res(res: DataFrame, ax=None):
     passes = [r["pass"] / max(r["tests"], 1) for r in rows][::-1]
     fails = [r["fail"] / max(r["tests"], 1) for r in rows][::-1]
     if ax is None:
-        _, ax = plt.subplots(figsize=(8, 0.5 * len(rows) + 1))
-    ax.barh(names, passes, label="pass")
-    ax.barh(names, fails, left=passes, label="fail")
+        _, ax = plt.subplots(figsize=(8, 0.5 * len(rows) + 2))
+    ax.barh(names, passes, color="#308344", label="pass")
+    ax.barh(names, fails, left=passes, color="#E66820", label="fail")
     ax.set_xlim(0, 1)
     ax.set_xlabel("share of rows")
+    if labels:
+        for i, (p, f, r) in enumerate(zip(passes, fails, rows[::-1])):
+            if p > 0:
+                ax.text(
+                    p / 2, i,
+                    f"{round_down(100 * p)}% ({pretty_val(r['pass'], align=False)})",
+                    ha="center", va="center", color="white", fontsize=8,
+                )
+            if f > 0:
+                ax.text(
+                    p + f / 2, i,
+                    f"{round_down(100 * f)}% ({pretty_val(r['fail'], align=False)})",
+                    ha="center", va="center", color="white", fontsize=8,
+                )
+    if table:
+        cells = plot_res_table(rows)
+        ax.table(
+            cellText=[list(c) for c in cells[1:]],
+            colLabels=list(cells[0]),
+            loc="bottom",
+            bbox=[0.0, -0.55, 1.0, 0.4],
+        )
     ax.legend(loc="lower right")
     return ax

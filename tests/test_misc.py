@@ -1,0 +1,63 @@
+"""detect_backend, pretty_val / round_down / plot_res_table —
+R/visualization.R:23-110 parity for everything renderable without matplotlib
+(the sandbox has none; the draw path stays import-gated)."""
+
+import pytest
+
+from dataverifyr_spark import check_data, rule
+from dataverifyr_spark.misc import detect_backend, plot_res, plot_res_table, pretty_val, round_down
+
+
+class TestDetectBackend:
+    def test_spark_frame(self, spark):
+        assert detect_backend(spark.range(1)) == "pyspark"
+
+    def test_pandas_frame(self):
+        import pandas as pd
+
+        assert detect_backend(pd.DataFrame({"a": [1]})) == "pandas"
+
+    def test_unknown_raises(self):
+        with pytest.raises(TypeError):
+            detect_backend([1, 2, 3])
+
+
+class TestPrettyVal:
+    def test_suffixes_match_r(self):
+        # R: pretty_val(1500) == "1.50k", 2.5e6 == "2.50mln", 1e9 == "1.00bln"
+        assert pretty_val(1500, align=False) == "1.50k"
+        assert pretty_val(2_500_000, align=False) == "2.50mln"
+        assert pretty_val(1_000_000_000, align=False) == "1.00bln"
+
+    def test_plain_values_strip_decimals(self):
+        assert pretty_val(500, align=False) == "500"
+        assert pretty_val(0, align=False) == "0"
+
+    def test_vector_aligned_then_stripped(self):
+        # R strips trailing .0+ AFTER right-aligning, so padding survives
+        assert pretty_val([1500, 5]) == ["1.50k", " 5"]
+
+    def test_round_down_never_rounds_up(self):
+        assert round_down(99.999999) == 99.99
+        assert round_down(33.339) == 33.33
+
+
+class TestPlotRes:
+    def test_table_rows(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(1500)], "x int")
+        res = check_data(df, rule("x < 1000", name="r1"))
+        cells = plot_res_table(res.select("name", "tests", "pass", "fail").collect())
+        assert cells[0] == ("", "Pass", "Fail", "Total")
+        assert cells[1] == ("r1", "1.00k", "500", "1.50k")
+
+    def test_plot_requires_matplotlib(self, spark):
+        # sandbox has no matplotlib: the render path must fail loud, not skip
+        try:
+            import matplotlib  # noqa: F401
+
+            pytest.skip("matplotlib present; render path exercised elsewhere")
+        except ImportError:
+            pass
+        res = check_data(spark.range(3), rule("id >= 0"))
+        with pytest.raises(ImportError, match="matplotlib"):
+            plot_res(res)

@@ -153,6 +153,34 @@ class TestSkew:
         assert out["hot"]["pass"] + out["hot"]["fail"] == out["hot"]["tests"]
         assert out["cold"]["tests"] == n // 10
 
+    def test_skewed_fk_reference_check_correct_under_smj(self, spark):
+        """Hot-key FK membership (90% of orders on one custkey) with broadcast
+        DISABLED — forces the sort-merge join shape a too-big-to-broadcast
+        reference table takes at 10^12 rows, where AQE's skew-join split
+        (enabled in session.build_spark) keeps the hot partition from
+        serializing one reducer.  Counts must be exact either way."""
+        from dataverifyr_spark import check_data, reference_rule, ruleset as rs_
+
+        n = 40000
+        orders = spark.range(0, n).select(
+            F.col("id").alias("o_orderkey"),
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 2000).alias(
+                "o_custkey"
+            ),
+        )
+        cust = spark.range(0, 1000).select(F.col("id").alias("c_custkey"))
+        rule_ = rs_(reference_rule("o_custkey", "customer", "c_custkey"))
+        expected_pass = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+        ).count()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            row = check_data({"orders": orders, "customer": cust}, rule_).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert (row["tests"], row["pass"]) == (n, expected_pass)
+
     def test_salted_distinct_under_skew(self, spark):
         # 95% duplicate hot key: salted two-phase distinct stays correct
         df = spark.range(0, 20000).select(
