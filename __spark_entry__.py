@@ -231,6 +231,18 @@ def q_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup end-to-end: banded-LSH pairs → connected components →
+    min-id survivor per cluster, oracled by brute-force pairs + recursive-CTE
+    reachability over the same derived table."""
+    from dataverifyr_spark.operators.components import embedding_dedup_groups
+
+    allv = _embeddings_with_near_dups(spark, sf_dir)
+    return embedding_dedup_groups(
+        allv, dim=64, threshold=0.99, bits=16, bands=6, vec_col="v"
+    )
+
+
 def q_check_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     rules = dv.ruleset(
@@ -338,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
         "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
@@ -548,6 +561,32 @@ def oracle_sql() -> dict[str, str]:
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
     """
 
+    embedding_dedup = """
+    WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dups AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(0, len(v)),
+                            i -> v[i + 1] + CAST((vec_id * 7 + i) % 11 AS DOUBLE) * 0.0005) AS v
+      FROM base
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM allv a, allv b
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    ),
+    bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM allv
+      UNION
+      SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node
+    )
+    SELECT node AS vec_id, MIN(lab) AS component, node = MIN(lab) AS is_kept
+    FROM reach GROUP BY node
+    """
+
     # shared shingle CTEs: 3-gram shingles over the same normalization Spark's
     # shingles() applies (lower, trim, collapse whitespace); docs shorter than
     # k collapse to one whole-text shingle
@@ -704,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_lineitem": drift,
         "near_dup_pairs_embeddings": near_dup,
         "lsh_jaccard_pairs_documents": lsh_jaccard,
+        "embedding_dedup_groups": embedding_dedup,
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,

@@ -22,7 +22,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_groups"]
+__all__ = ["connected_components", "embedding_dedup_groups", "near_dup_groups"]
 
 
 def connected_components(
@@ -88,6 +88,40 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def embedding_dedup_groups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    bits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine dedup groups: banded hyperplane-LSH pairs →
+    connected components → (id, component, is_kept) — the embedding analog
+    of :func:`near_dup_groups` ("keep one representative per cluster of
+    near-identical vectors"), e.g. dropping re-embedded duplicates from a
+    training corpus.  Every stage is bucketed equi-joins + the CC label
+    pass; no cross join at any size."""
+    from .similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        df, dim, threshold, bits, bands, vec_col, id_col, seed, max_bucket_size
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    out = (
+        df.select(F.col(id_col))
+        .join(comps, df[id_col] == comps["node"], "left")
+        .select(F.col(id_col), F.coalesce("component", F.col(id_col)).alias("component"))
+    )
+    keep = out.groupBy("component").agg(F.min(id_col).alias("__keep"))
+    return out.join(keep, "component").select(
+        id_col, "component", (F.col(id_col) == F.col("__keep")).alias("is_kept")
+    )
 
 
 def near_dup_groups(

@@ -218,6 +218,34 @@ class TestConnectedComponents:
         comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
         assert all(comps[i] == 0 for i in range(16))
 
+    def test_embedding_dedup_groups(self, spark):
+        # three exact clusters of near-identical vectors + singletons: min-id
+        # survivor per cluster, everything else flagged duplicate
+        import math as m
+
+        from dataverifyr_spark.operators.components import embedding_dedup_groups
+
+        def vec(seed, eps=0.0):
+            return [m.sin(seed * 0.7 + d) + eps for d in range(8)]
+
+        rows = []
+        for cluster, base in ((0, 1.0), (1, 2.0), (2, 3.0)):
+            for j in range(3):
+                rows.append((cluster * 10 + j, vec(base, eps=j * 1e-4)))
+        rows += [(100, vec(40.0)), (101, vec(55.0))]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = {r["vec_id"]: r for r in embedding_dedup_groups(
+            df, dim=8, threshold=0.999, bits=8, bands=4
+        ).collect()}
+        assert len(out) == 11
+        for cluster in (0, 1, 2):
+            ids = [cluster * 10 + j for j in range(3)]
+            comps = {out[i]["component"] for i in ids}
+            assert comps == {cluster * 10}, comps
+            assert [out[i]["is_kept"] for i in ids] == [True, False, False]
+        assert out[100]["is_kept"] and out[101]["is_kept"]
+        assert out[100]["component"] == 100
+
     def test_warns_when_max_iter_exhausted(self, spark):
         import warnings as _w
 
