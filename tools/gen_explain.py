@@ -43,6 +43,40 @@ sections.append(("Reference-rule membership count (key-only projection before jo
 qvec=[float(v) for v in emb.select("embedding").head()[0]]
 sections.append(("Cosine top-k (TakeOrderedAndProject - per-partition top-k merge, no sort shuffle)", cap(brute_force_topk(emb, qvec, 10))))
 
+# round 2: banded-LSH near-dup pairs — must be equi-joins only, no
+# BroadcastNestedLoopJoin / CartesianProduct anywhere
+from dataverifyr_spark.operators.similarity import embedding_near_dup_pairs
+emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+pairs = embedding_near_dup_pairs(emb_d, dim=64, threshold=0.99, bits=16, bands=2, vec_col="v")
+pp = cap(pairs)
+assert "BroadcastNestedLoopJoin" not in pp and "CartesianProduct" not in pp
+# keep the tree only: the detail section inlines 2x16x64 hyperplane literals
+pp_tree = pp.split("\n\n(1)")[0] + (
+    "\n\n[node details elided: the projection inlines the band hyperplane "
+    "literals; asserted free of BroadcastNestedLoopJoin/CartesianProduct]\n"
+)
+sections.append(("Banded-LSH embedding near-dup pairs (equi-joins only; NO nested-loop/cartesian)", pp_tree))
+
+# round 2: audio dialect auto-fuse — 5 bytes-family rules, ONE ArrowEvalPython
+from dataverifyr_spark.audio import clips_table
+clips = clips_table(spark, 50)
+audio_rules = dv.ruleset(
+    dv.rule("audio_valid(bytes)"),
+    dv.rule("audio_sr(bytes) == sr_hz"),
+    dv.rule("abs(audio_dur_ms(bytes) - dur_ms) <= 2"),
+    dv.rule("audio_rms(bytes) > 0.001", allow_na=True),
+    dv.rule("audio_n_samples(bytes) > 0"),
+)
+apreds = [compile_rule_predicate(r).column for r in audio_rules]
+aplan = cap(clips.agg(*[F.sum(F.when(p,1).otherwise(0)).alias(f"p{i}") for i,p in enumerate(apreds)]))
+assert aplan.count("ArrowEvalPython") == 2  # tree + detail of ONE node
+sections.append(("Audio dialect 5-rule fused check (ONE shared decode probe -> one ArrowEvalPython)", aplan))
+
+# round 2: single-pass simhash (one aggregate fold, no per-bit traversals)
+from dataverifyr_spark.operators.dedup import simhash
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+sections.append(("SimHash single-pass vote fold (one projection, no shuffle)", cap(simhash(docs).select("doc_id","simhash"))))
+
 with open("/root/repo/EXPLAIN.md","w") as f:
     f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
     f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
