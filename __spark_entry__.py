@@ -331,6 +331,24 @@ def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload validation: real PPM decode in one Arrow pass (truncated
+    containers and codec-needing formats become invalid rows), rules fused
+    over the probe columns.  Oracle recomputes the fixture's injection
+    cadence (operators/image.py DARK/CORRUPT/CODEC_EVERY) from
+    generate_series — the Spark side must hit the counts through real
+    decoding."""
+    from dataverifyr_spark.operators.image import image_probe, images_table
+
+    imgs = images_table(spark, 1000)
+    rules = dv.ruleset(
+        dv.rule("img_valid", name="decodes"),
+        dv.rule("img_width <= 20", name="width_cap", allow_na=True),
+        dv.rule("img_brightness > 1", name="not_black", allow_na=True),
+    )
+    return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_lineitem": q_check_lineitem,
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
+        "image_validate": q_image_validate,
     }
 
 
@@ -681,6 +700,36 @@ def oracle_sql() -> dict[str, str]:
       FROM (SELECT unnest(generate_series(0, 1999)) AS i)
     )
     """
+    # image fixture cadence (operators/image.py): decode fails on truncated
+    # (every 13th) and codec-needing (every 17th) rows; dark rows (every
+    # 11th) fail the brightness rule only when they decode; width 16+i%7
+    # exceeds the cap when i%7 ∈ {5,6} only when decoded (allow_na rescues
+    # NULL probe columns on invalid rows)
+    def image_rule_row(name: str, expr: str, allow_na: str, pass_cond: str) -> str:
+        return f"""
+    SELECT 'row_rule' AS check_type, '{name}' AS name, '{expr}' AS expr,
+           {allow_na} AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM iflags"""
+
+    image_validate = """
+    WITH iflags AS (
+      SELECT i,
+             (i > 0 AND (i % 13 = 0 OR i % 17 = 0)) AS invalid,
+             (i > 0 AND i % 11 = 0) AS dark,
+             (i % 7) IN (5, 6) AS wide
+      FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            image_rule_row("decodes", "img_valid", "FALSE", "NOT invalid"),
+            image_rule_row("width_cap", "img_width <= 20", "TRUE", "invalid OR NOT wide"),
+            image_rule_row("not_black", "img_brightness > 1", "TRUE", "invalid OR NOT dark"),
+        ]
+    )
+
     audio = audio_flags + " UNION ALL ".join(
         [
             audio_rule_row("decodes", "audio_valid", "NOT corrupt"),
@@ -747,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
+        "image_validate": image_validate,
         "check_by_event_type": check_by_event,
         "violations_customer": violations,
         "reference_orders_customer": reference,

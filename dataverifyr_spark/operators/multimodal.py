@@ -1,12 +1,15 @@
 """Multimodal binary-column plumbing: images / audio / video as opaque
 ``binary`` columns with typed metadata, processed through ``mapInPandas``.
 
-The Spark-side machinery here is REAL and tested — schema contracts, Arrow
-batch iteration, partition-preserving transforms.  The media decoders
-themselves are STUBBED (``NotImplementedError`` or a deterministic fake):
-image/video codec libraries are not present in this environment; audio WAV is
-the one fully-real decoder (see ``dataverifyr_spark.audio``).  Swapping a
-stub for a real decoder changes only the inner function, not the plan shape.
+Fully-real decoders (pure numpy, no codec libraries):
+* audio WAV-PCM16 — ``dataverifyr_spark.audio.wav``
+* still images PPM/BMP + video Y4M frame sampling — ``operators.image``
+
+Only COMPRESSED formats (PNG/JPEG/H.264) remain stubbed below
+(``decode_image_stub``): their codecs are not present in this environment.
+Swapping the stub for a real codec changes only the inner function, not the
+plan shape — the Arrow batch iteration, schema contracts, and
+partition-preserving transforms here are real and tested either way.
 """
 
 from __future__ import annotations

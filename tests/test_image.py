@@ -1,0 +1,158 @@
+"""Real image/video decoding (operators/image.py): PPM, BMP, Y4M — pure
+numpy, pinned bytes, and the Spark probe through real check_data rules."""
+
+import numpy as np
+import pytest
+
+from dataverifyr_spark.operators.image import (
+    ImageError,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_ppm,
+    encode_y4m,
+    image_probe,
+    resize_nearest,
+    y4m_info,
+    y4m_sample_frames,
+)
+
+
+def _checker(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = ((x + y) % 2) * 255
+    img[..., 1] = (x * 7) % 256
+    img[..., 2] = (y * 13) % 256
+    return img
+
+
+class TestPPM:
+    def test_round_trip(self):
+        img = _checker(5, 7)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    def test_header_bytes_pinned(self):
+        assert encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8))[:11] == b"P6\n3 2\n255\n"
+
+    def test_comment_in_header(self):
+        img = _checker(2, 2)
+        blob = b"P6\n# made by hand\n2 2\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(blob), img)
+
+    def test_truncated_rejected(self):
+        with pytest.raises(ImageError, match="truncated"):
+            decode_ppm(encode_ppm(_checker(4, 4))[:-5])
+
+
+class TestBMP:
+    @staticmethod
+    def _encode_bmp(img: np.ndarray) -> bytes:
+        # minimal 24bpp BI_RGB writer (bottom-up, padded rows) — test-local
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+        data = rows.tobytes()
+        header = (
+            b"BM"
+            + (54 + len(data)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return header + data
+
+    def test_round_trip_with_padding(self):
+        img = _checker(3, 3)  # stride 12 → 3 pad bytes per row
+        assert np.array_equal(decode_bmp(self._encode_bmp(img)), img)
+
+    def test_unsupported_bpp_rejected(self):
+        blob = bytearray(self._encode_bmp(_checker(2, 2)))
+        blob[28] = 8  # 8bpp
+        with pytest.raises(ImageError, match="24bpp"):
+            decode_bmp(bytes(blob))
+
+    def test_magic_dispatch(self):
+        img = _checker(2, 4)
+        assert np.array_equal(decode_image(self._encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        with pytest.raises(ImageError, match="codec"):
+            decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+class TestResize:
+    def test_downscale_exact_factor(self):
+        img = _checker(8, 8)
+        out = resize_nearest(img, 4, 4)
+        assert out.shape == (4, 4, 3)
+        assert np.array_equal(out, img[::2, ::2])
+
+    def test_upscale(self):
+        img = _checker(2, 2)
+        out = resize_nearest(img, 4, 4)
+        assert out.shape == (4, 4, 3)
+        assert np.array_equal(out[0, 0], img[0, 0]) and np.array_equal(out[3, 3], img[1, 1])
+
+
+class TestY4M:
+    def test_info_and_sampling(self):
+        frames = np.stack([np.full((4, 6), i * 10, dtype=np.uint8) for i in range(10)])
+        blob = encode_y4m(frames, w=6, h=4)
+        assert y4m_info(blob) == (6, 4, 10, 4 * 6 + 2 * 2 * 3)
+        sampled = y4m_sample_frames(blob, every_n=3)
+        assert sampled.shape == (4, 4, 6)
+        assert [int(f[0, 0]) for f in sampled] == [0, 30, 60, 90]
+
+    def test_max_frames_cap(self):
+        frames = np.zeros((6, 2, 2), dtype=np.uint8)
+        blob = encode_y4m(frames, w=2, h=2)
+        assert y4m_sample_frames(blob, every_n=1, max_frames=2).shape[0] == 2
+
+    def test_bad_stream_rejected(self):
+        with pytest.raises(ImageError, match="YUV4MPEG2"):
+            y4m_info(b"RIFF....")
+
+
+class TestImageProbe:
+    def test_probe_and_rules(self, spark):
+        import dataverifyr_spark as dv
+
+        good = _checker(10, 20)
+        rows = [
+            ("img-0", bytearray(encode_ppm(good))),
+            ("img-1", bytearray(TestBMP._encode_bmp(good))),
+            ("img-2", bytearray(b"\xff\xd8\xffJPEGJPEG")),  # codec-needing
+            ("img-3", bytearray(b"garbage")),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, bytes binary")
+        probe = image_probe(df)
+        got = {r["media_id"]: r for r in probe.collect()}
+        assert got["img-0"]["img_valid"] and got["img-1"]["img_valid"]
+        assert (got["img-0"]["img_width"], got["img-0"]["img_height"]) == (20, 10)
+        # PPM and BMP of the SAME pixels must produce identical features
+        for k in ("img_mean_r", "img_mean_g", "img_mean_b", "img_brightness", "img_contrast"):
+            assert got["img-0"][k] == got["img-1"][k], k
+        assert not got["img-2"]["img_valid"] and "codec" in got["img-2"]["img_error"]
+        assert not got["img-3"]["img_valid"]
+
+        # the probe columns flow through the ordinary fused rule machinery
+        res = dv.check_data(
+            probe,
+            dv.ruleset(
+                dv.rule("img_valid", name="decodes"),
+                dv.rule("img_width >= 16 & img_height >= 8", name="min_dims", allow_na=True),
+                dv.rule("img_brightness > 1", name="not_black", allow_na=True),
+            ),
+        ).collect()
+        by = {r["name"]: (r["pass"], r["fail"]) for r in res}
+        assert by["decodes"] == (2, 2)
+        assert by["min_dims"] == (4, 0)  # NULL dims rescued by allow_na
+        assert by["not_black"] == (4, 0)
