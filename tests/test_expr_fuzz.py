@@ -86,6 +86,10 @@ class TestSqlDifferential:
         "a - b != 0",
         "s %in% c('x', 'abc')",
         "!(s %in% c('x', 'abc'))",
+        "b %in% c(0, NA)",
+        "!(b %in% c(1, NA))",
+        "s %in% c('x', NA)",
+        "a %in% c(NA)",
     ]
     # NOTE: `1 < 2 < 3` and `a < !b` PARSE (R grammar) but need R's
     # logical->numeric coercion to evaluate; ANSI Spark/DuckDB both reject
