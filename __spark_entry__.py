@@ -553,12 +553,17 @@ def oracle_sql() -> dict[str, str]:
     ), basef AS (
       SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM base) AS base_frac FROM base
     ), j AS (
-      SELECT COALESCE(curf.cur_frac, 0.0) AS cf, COALESCE(basef.base_frac, 0.0) AS bf
+      SELECT bucket, COALESCE(curf.cur_frac, 0.0) AS cf, COALESCE(basef.base_frac, 0.0) AS bf
       FROM curf FULL OUTER JOIN basef USING (bucket)
+    ), gaps AS (
+      SELECT cf, bf,
+             ABS(SUM(cf) OVER (ORDER BY bucket) - SUM(bf) OVER (ORDER BY bucket)) AS gap
+      FROM j
     )
     SELECT ROUND(SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))), 6) AS psi,
+           ROUND(MAX(gap), 6) AS ks,
            SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))) > 0.2 AS drifted
-    FROM j
+    FROM gaps
     """
 
     # brute-force oracle over the same derived (orig ∪ jittered-dup) table the

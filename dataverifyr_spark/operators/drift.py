@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["histogram", "snapshot_baseline", "psi", "drift_check"]
+__all__ = ["histogram", "snapshot_baseline", "psi", "ks", "drift_check"]
 
 _EPS = 1e-6  # PSI smoothing for empty buckets
 
@@ -76,6 +76,24 @@ def psi(current: DataFrame, baseline: DataFrame, by: str | None = None) -> DataF
     return j.agg(F.sum(term).alias("psi"))
 
 
+def ks(current: DataFrame, baseline: DataFrame, by: str | None = None) -> DataFrame:
+    """Histogram-approximated Kolmogorov–Smirnov statistic per partition key:
+    max over buckets of |CDF_cur − CDF_base| (running sums ordered by bucket;
+    the NULL bucket -1 sorts first so missingness shifts count as drift).
+    The window spans only ``bins`` rows per key — driver-light at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
+    cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
+    j = cur.join(base, "bucket", "full_outer").fillna({"cur_frac": 0.0, "base_frac": 0.0})
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy("bucket")
+    j = j.withColumn("__gap", F.abs(F.sum("cur_frac").over(w) - F.sum("base_frac").over(w)))
+    if by:
+        return j.groupBy(by).agg(F.max("__gap").alias("ks"))
+    return j.agg(F.max("__gap").alias("ks"))
+
+
 def drift_check(
     df: DataFrame,
     value_col: str,
@@ -86,12 +104,28 @@ def drift_check(
     by: str | None = None,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Per-partition drift summary row: psi + drifted flag — shaped like a
-    check_data result so it can union into the same reporting sink."""
+    """Per-partition drift summary row: psi + ks + drifted flag — shaped like
+    a check_data result so it can union into the same reporting sink.  ONE
+    input scan: both statistics reduce the same histogram-to-baseline join
+    (psi is a per-bucket sum, ks a max over the running CDF gap)."""
+    from pyspark.sql.window import Window
+
     cur = histogram(df, value_col, lo, hi, bins, by=by)
-    scores = psi(cur, baseline, by=by)
+    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
+    j = cur.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac")).join(
+        base, "bucket", "full_outer"
+    ).fillna({"cur_frac": 0.0, "base_frac": 0.0})
+    c = F.col("cur_frac") + _EPS
+    b = F.col("base_frac") + _EPS
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy("bucket")
+    j = j.withColumn("__term", (c - b) * F.log(c / b)).withColumn(
+        "__gap", F.abs(F.sum("cur_frac").over(w) - F.sum("base_frac").over(w))
+    )
+    grouped = j.groupBy(by) if by else j.groupBy()
+    scores = grouped.agg(F.sum("__term").alias("psi"), F.max("__gap").alias("ks"))
     return scores.select(
         *([by] if by else []),
         F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
         (F.col("psi") > threshold).alias("drifted"),
     )

@@ -365,6 +365,28 @@ class TestMultiprobeAndIVF:
         b = {r["vec_id"]: r["cluster"] for r in udf_path.collect()}
         assert a == b
 
+    def test_ivf_index_written_by_cluster_prunes_partitions(self, spark, emb2, tmp_path):
+        """The IVF scale story: write the index partitioned by cluster, and a
+        probe of nprobe clusters becomes PartitionFilters pruning — the scan
+        touches nprobe/k of the files, which is the whole point at 10^12
+        rows."""
+        import contextlib
+        import io
+
+        from dataverifyr_spark.operators.ivf import ivf_index, kmeans_fit
+
+        cents = kmeans_fit(emb2, k=8, dim=8, iters=2)
+        p = str(tmp_path / "ivf_index")
+        ivf_index(emb2, cents).write.partitionBy("cluster").parquet(p)
+        probe = spark.read.parquet(p).filter(F.col("cluster").isin([0, 3]))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [cluster" in plan, plan
+        got = {r["cluster"] for r in probe.select("cluster").distinct().collect()}
+        assert got <= {0, 3}
+
     def test_assign_large_k_is_fast(self, spark):
         # regression: k=512 x dim=64 (32k literal elements) took ~minute of
         # Catalyst ANALYSIS in the expression path; the pandas path must keep

@@ -25,6 +25,7 @@ class TestDrift:
         b = histogram(base, "v", 0.0, 100.0, bins=10)
         out = drift_check(base, "v", b, 0.0, 100.0, bins=10).collect()[0]
         assert out["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert out["ks"] == pytest.approx(0.0, abs=1e-9)
         assert out["drifted"] is False
 
     def test_shifted_distribution_drifts(self, spark, base):
@@ -34,6 +35,20 @@ class TestDrift:
         )
         out = drift_check(shifted, "v", b, 0.0, 100.0, bins=10).collect()[0]
         assert out["psi"] > 0.2 and out["drifted"] is True
+        # everything moved to [70,100): CDF gap at bucket 6 is the whole
+        # baseline mass below 70 → KS = 0.7
+        assert out["ks"] == pytest.approx(0.7, abs=1e-6)
+
+    def test_ks_statistic_golden(self, spark, base):
+        # uniform baseline vs lower-half-only current: F_cur(x)-F_base(x)
+        # peaks at the median → KS = 0.5
+        from dataverifyr_spark.operators.drift import ks
+
+        b = histogram(base, "v", 0.0, 100.0, bins=10)
+        lower = spark.range(0, 10000).select((F.col("id") % 50).cast("double").alias("v"))
+        cur = histogram(lower, "v", 0.0, 100.0, bins=10)
+        out = ks(cur, b).collect()[0]
+        assert out["ks"] == pytest.approx(0.5, abs=1e-9)
 
     def test_per_partition_drift(self, spark, base):
         df = spark.range(0, 10000).select(

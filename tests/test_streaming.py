@@ -106,3 +106,52 @@ class TestStreamToLedger:
             if rows:
                 total += sum(r["tests"] for r in rows if r["name"] == "nonneg")
         assert total == 300
+
+
+class TestStreamingAudio:
+    def test_audio_probe_and_rules_on_stream(self, spark, tmp_path):
+        """The graft's payload path under Structured Streaming: clips arrive
+        as parquet micro-batches, with_audio_features decodes inside each
+        Arrow batch, and the summed rule counts equal the batch run — same
+        fused predicates, streaming execution."""
+        from pyspark.sql import functions as F
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
+        from dataverifyr_spark.check import compile_rule_predicate
+
+        src = str(tmp_path / "clips_in")
+        clips = clips_table(spark, 300, num_partitions=3)
+        clips.write.parquet(src)
+
+        sdf = (
+            spark.readStream.schema(clips.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = with_audio_features(sdf)
+        rules = audio_ruleset()
+        aggs = [F.count(F.lit(1)).alias("tests")] + [
+            F.sum(F.when(compile_rule_predicate(r).column, 1).otherwise(0)).alias(r.name)
+            for r in rules
+        ]
+        q = (
+            enriched.groupBy().agg(*aggs)
+            .writeStream.format("memory")
+            .queryName("audio_stream_totals")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT * FROM audio_stream_totals").collect()[0].asDict()
+
+        batch = {
+            r["name"]: r["pass"]
+            for r in dv.check_data(with_audio_features(clips), rules).collect()
+        }
+        assert got["tests"] == 300
+        for name, passed in batch.items():
+            assert got[name] == passed, name
