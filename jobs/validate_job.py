@@ -67,7 +67,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.part_col:
         ledger = ValidationLedger(spark, f"{args.out}/ledger")
+        n_before = ledger.pending_partitions(df, args.part_col, run_id).count()
         ledger.run(df, rules, args.part_col, run_id=run_id)
+        print(
+            f"ledger: validated {n_before} pending partition(s) this submit"
+            + (" (resume: all partitions already committed)" if n_before == 0 else "")
+        )
 
     summary.show(truncate=False)
     n_fail = sum(r["fail"] for r in summary.collect())
