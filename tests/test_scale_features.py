@@ -171,9 +171,12 @@ class TestSkew:
     def test_skewed_fk_reference_check_correct_under_smj(self, spark):
         """Hot-key FK membership (90% of orders on one custkey) with broadcast
         DISABLED — forces the sort-merge join shape a too-big-to-broadcast
-        reference table takes at 10^12 rows, where AQE's skew-join split
-        (enabled in session.build_spark) keeps the hot partition from
-        serializing one reducer.  Counts must be exact either way."""
+        reference table takes at 10^12 rows.  AQE's skew-join split (enabled
+        in session.build_spark) fires when a shuffle partition's BYTES cross
+        skewedPartitionThresholdInBytes; note a constant hot key compresses
+        to almost nothing in the shuffle (verified: AQE coalesces rather than
+        splits on this synthetic), so real-payload skew is what trips it at
+        scale.  Counts must be exact either way."""
         from dataverifyr_spark import check_data, reference_rule, ruleset as rs_
 
         n = 40000
