@@ -272,6 +272,15 @@ def q_most_frequent_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("var", "most_frequent")
 
 
+def q_most_frequent_fused_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as most_frequent_customer but through the FUSED
+    single-scan path (all columns' top-k in one explode→window pass) —
+    oracled by the identical SQL, so the two strategies are pinned equal."""
+    cust = _t(spark, sf_dir, "customer")
+    d = dv.describe(cust.select("c_nationkey", "c_mktsegment"), top_n=3, fused_topk=True)
+    return d.select("var", "most_frequent")
+
+
 def q_lsh_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH candidate pairs verified by exact 3-gram Jaccard ≥ 0.7 —
     the scale path (band-bucket equi-join, hot-bucket cap), oracled against
@@ -367,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_by_event_type": q_check_by_event_type,
         "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
+        "most_frequent_fused_customer": q_most_frequent_fused_customer,
         "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "near_dup_groups_documents": q_near_dup_groups_documents,
@@ -788,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
         "most_frequent_customer": most_frequent,
+        "most_frequent_fused_customer": most_frequent,
         "events_freshness": """
     SELECT event_type, MAX(ts) AS last_ts,
            ROUND((epoch(TIMESTAMP '2024-01-31 12:00:00') - epoch(MAX(ts))) / 60.0, 3) AS lag_minutes,

@@ -245,7 +245,18 @@ def _most_frequent_fused(
     ]
     pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.var", "p.v")
     counts = pairs.groupBy("var", "v").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("var").orderBy(F.desc("c"), F.asc_nulls_last("v"))
+    numeric_vars = {
+        f.name for f in fields if isinstance(f.dataType, _NUMERIC + (T.BooleanType,))
+    }
+    # tie-break on the TYPED value like the per-column path: NUMERIC columns
+    # order count ties numerically, everything else lexicographically, NAs
+    # last — matching R's sort (a "11"<"7" string tie-break diverged here)
+    num_key = F.when(
+        F.col("var").isin(sorted(numeric_vars)), F.col("v").try_cast("double")
+    )
+    w = Window.partitionBy("var").orderBy(
+        F.desc("c"), F.asc_nulls_last(num_key), F.asc_nulls_last("v")
+    )
     top = (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_n)
@@ -253,9 +264,6 @@ def _most_frequent_fused(
         .collect()
     )
     out: dict[str, list[str]] = {}
-    numeric_vars = {
-        f.name for f in fields if isinstance(f.dataType, _NUMERIC + (T.BooleanType,))
-    }
     for r in top:
         if skip_ones and r["c"] <= 1:
             continue

@@ -201,3 +201,16 @@ class TestYamlPathConvenience:
                 b["pass"],
                 b["fail"],
             )
+
+
+class TestAllowNaCoercionCorner:
+    def test_coerced_na_is_not_rescued(self, spark):
+        """Reference 'special case' (test-check_data.R:230-243): with
+        rule(as.numeric(vs) %in% c(0, 1), allow_na=TRUE) and vs[1]='asd',
+        the row FAILS — allow_na guards the RAW symbol (vs is not NA), not
+        the coercion result — and the coercion warning is recorded."""
+        rows = [("asd",)] + [("0",)] * 17 + [("1",)] * 14
+        df = spark.createDataFrame(rows, "vs string")
+        res = check_data(df, rule("as.numeric(vs) %in% c(0, 1)", allow_na=True)).collect()[0]
+        assert (res["tests"], res["pass"], res["fail"]) == (32, 31, 1)
+        assert res["warn"] == "NAs introduced by coercion"

@@ -111,3 +111,45 @@ class TestFusedTopK:
         a = {r["var"]: r["most_frequent"] for r in describe(df, top_n=2).collect()}
         b = {r["var"]: r["most_frequent"] for r in describe(df, top_n=2, fused_topk=True).collect()}
         assert a == b
+
+
+class TestReferenceDescribeGoldens:
+    """Pinned from the reference's own assertions (test-describe.R:130-143,
+    :221-243): NA appears as a most_frequent VALUE with its count; one-distinct
+    and all-NA columns suppress to ""; digits round the displayed values."""
+
+    def test_na_as_value_and_suppression(self, spark):
+        df = spark.createDataFrame(
+            [
+                (3.1415926535, None, 1.23456789),
+                (3.1415926535, None, 1.23456789),
+                (3.1415926535, None, 9.87654321),
+                (3.1415926535, None, None),
+                (3.1415926535, None, 9.87654321),
+            ],
+            "one_value double, all_na double, mixed double",
+        )
+        d = {r["var"]: r["most_frequent"] for r in describe(df, skip_ones=False).collect()}
+        assert d["one_value"] == ""
+        assert d["all_na"] == ""
+        assert d["mixed"] == "1.2346 (2), 9.8765 (2), NA (1)"
+        d2 = {r["var"]: r["most_frequent"] for r in describe(df).collect()}
+        assert d2["mixed"] == "1.2346 (2), 9.8765 (2)"  # skip_ones drops NA (1)
+
+    def test_digits_two(self, spark):
+        df = spark.createDataFrame(
+            [(1.234567, "a"), (1.234567, "a"), (9.876543, "b"), (9.876543, "c"), (None, None)],
+            "num double, chr string",
+        )
+        d = {
+            r["var"]: r["most_frequent"]
+            for r in describe(df, skip_ones=False, digits=2).collect()
+        }
+        assert sorted(d["num"].split(", ")) == ["1.23 (2)", "9.88 (2)", "NA (1)"]
+        assert d["chr"].startswith("a (2)")
+        d2 = {
+            r["var"]: r["most_frequent"]
+            for r in describe(df, skip_ones=True, digits=2).collect()
+        }
+        assert sorted(d2["num"].split(", ")) == ["1.23 (2)", "9.88 (2)"]
+        assert d2["chr"] == "a (2)"
