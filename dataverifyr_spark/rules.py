@@ -46,6 +46,10 @@ _TYPE_ALIASES = {
 }
 
 
+def _r_bool(b: bool) -> str:
+    return "TRUE" if b else "FALSE"
+
+
 @dataclass(frozen=True)
 class Rule:
     """A row-level boolean predicate over column names.
@@ -85,15 +89,37 @@ class Rule:
         # (R/ruleset_construction.R:24-31)
         return (self.check_type, self.expr, self.name, self.allow_na, self.negate)
 
-    def __repr__(self) -> str:  # print.rule, R/rule.R:67-74
-        return (
-            f"<{self.check_type} '{self.name}'\n"
-            f"  expr: {self.expr}\n"
-            f"  allow_na: {self.allow_na}  negate: {self.negate}>"
-        )
+    def __add__(self, other):
+        # rule + rule / rule + ruleset both form a ruleset with dedupe
+        # (R/ruleset_construction.R:9-40; tests/test-ruleset_construction.R:1-19)
+        if isinstance(other, Rule):
+            return Ruleset([self]) + other
+        if isinstance(other, Ruleset):
+            return Ruleset([self]) + other
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        # byte-matches print.rule (R/rule.R:67-74): TRUE/FALSE booleans, the
+        # two-space 'negated:' alignment, then every non-core field quoted
+        lines = [
+            "<Verification Rule>",
+            f"  expr: '{self.expr}'",
+            f"  name: '{self.name}'",
+            f"  allow NA: {_r_bool(self.allow_na)}",
+            f"  negated:  {_r_bool(self.negate)}",
+        ]
+        for k, v in self._extra_fields():
+            lines.append(f"  {k}: '{v}'")
+        return "\n".join(lines)
+
+    def _extra_fields(self) -> list[tuple[str, Any]]:
+        out = list(self.extra.items())
+        if self.index is not None:
+            out.append(("index", self.index))
+        return out
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, repr=False)
 class ReferenceRule(Rule):
     """FK-style membership rule: ``local_col %in% ref_dataset$ref_col``
     (R/data_column.R:149-185).  Evaluated as a distinct-ref join, not through
@@ -106,6 +132,17 @@ class ReferenceRule(Rule):
     @property
     def check_type(self) -> str:
         return "reference_rule"
+
+    def _extra_fields(self) -> list[tuple[str, Any]]:
+        out: list[tuple[str, Any]] = [
+            ("local_col", self.local_col),
+            ("ref_dataset", self.ref_dataset),
+            ("ref_col", self.ref_col),
+        ]
+        out += list(self.extra.items())
+        if self.index is not None:
+            out.append(("index", self.index))
+        return out
 
     def symbols(self) -> list[str]:
         return [self.local_col]
@@ -274,11 +311,26 @@ class Ruleset:
 
     __radd__ = __add__
 
-    def __repr__(self) -> str:  # print.ruleset truncates at 3 (R/rule.R:150-163)
-        head = [repr(r) for r in self.rules[:3]]
-        more = len(self.rules) - 3
-        tail = [f"+ {more} more rules"] if more > 0 else []
-        return f"<ruleset with {len(self.rules)} rules>\n" + "\n".join(head + tail)
+    def show(self, n: int = 3) -> str:
+        """print.ruleset's exact format (R/rule.R:150-163): indexed one-line
+        entries, truncating past ``n`` with the reference's literal hint."""
+        lines = [f"<Verification Ruleset with {len(self.rules)} elements>"]
+        nn = min(len(self.rules), n)
+        for r in self.rules[:nn]:
+            negated = ", negated" if r.negate else ""
+            lines.append(
+                f"  [{r.index}] '{r.name}' matching `{r.expr}` "
+                f"(allow_na: {_r_bool(r.allow_na)}{negated})"
+            )
+        if nn != len(self.rules):
+            lines.append(
+                f"  ... +{len(self.rules) - nn} more. "
+                "Use print(ruleset, n = 10) to print more."
+            )
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:
+        return self.show()
 
 
 def _with_index(r: Rule, index: int) -> Rule:

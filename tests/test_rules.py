@@ -49,6 +49,25 @@ class TestRulesetComposition:
         rs = ruleset(rule("x > 1")) + rule("y > 2")
         assert len(rs) == 2
 
+    def test_rule_plus_rule_forms_ruleset(self):
+        # tests/test-ruleset_construction.R:1-8
+        r1, r2 = rule("mpg > 10"), rule("hp > 10")
+        rs = r1 + r2
+        assert isinstance(rs, Ruleset)
+        assert [r.expr for r in rs] == ["mpg > 10", "hp > 10"]
+        assert [r.index for r in rs] == [1, 2]
+
+    def test_rule_plus_ruleset(self):
+        # tests/test-ruleset_construction.R:10-19
+        r1, r2, r3 = rule("mpg > 10"), rule("hp > 10"), rule("name == 'henry'")
+        assert [r.expr for r in r1 + ruleset(r2, r3)] == [r.expr for r in ruleset(r1, r2, r3)]
+
+    def test_chained_adds_dedupe(self):
+        # tests/test-ruleset_construction.R:44-56
+        r1, r2 = rule("mpg > 10"), rule("hp > 10")
+        assert len(ruleset(r1, r2) + ruleset(r1, r2)) == 2
+        assert len(r1 + r2 + ruleset(r1, r2) + ruleset(r1, r2)) == 2
+
     def test_bind_rules(self):
         rs = bind_rules([rule("a > 1"), ruleset(rule("b > 2")), rule("a > 1")])
         assert [r.expr for r in rs] == ["a > 1", "b > 2"]
@@ -196,3 +215,42 @@ class TestRYamlFixtures:
             p = str(tmp_path / fx)
             write_rules(back, p)
             assert open(p).read() == open(self._fx(fx)).read(), fx
+
+
+class TestPrintFormats:
+    """Byte-pinned against the reference's print tests
+    (tests/testthat/test-rule.R:37-82)."""
+
+    def test_rule_repr(self):
+        r = rule("mpg > 10", name="mpg rule", allow_na=True, negate=True, author="qa")
+        assert repr(r) == (
+            "<Verification Rule>\n"
+            "  expr: 'mpg > 10'\n"
+            "  name: 'mpg rule'\n"
+            "  allow NA: TRUE\n"
+            "  negated:  TRUE\n"
+            "  author: 'qa'"
+        )
+
+    def test_reference_rule_repr_has_fk_fields(self):
+        out = repr(reference_rule("carrier", "carriers", "carrier_id"))
+        assert out.startswith("<Verification Rule>")
+        assert "  local_col: 'carrier'" in out
+        assert "  ref_dataset: 'carriers'" in out
+
+    def test_ruleset_show_truncation(self):
+        rs = ruleset(
+            rule("mpg > 10", name="mpg"),
+            rule("cyl %in% c(4, 6, 8)", name="cyl", allow_na=True),
+            rule("qsec > 14", name="qsec", negate=True),
+            rule("hp < 300", name="hp"),
+        )
+        short = rs.show(3)
+        assert short.splitlines()[0] == "<Verification Ruleset with 4 elements>"
+        assert "  [1] 'mpg' matching `mpg > 10` (allow_na: FALSE)" in short
+        assert "  [2] 'cyl' matching `cyl %in% c(4, 6, 8)` (allow_na: TRUE)" in short
+        assert "  [3] 'qsec' matching `qsec > 14` (allow_na: FALSE, negated)" in short
+        assert "  ... +1 more. Use print(ruleset, n = 10) to print more." in short
+        long = rs.show(10)
+        assert "  [4] 'hp' matching `hp < 300` (allow_na: FALSE)" in long
+        assert "+1 more" not in long
