@@ -24,6 +24,7 @@ __all__ = [
     "shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_pairs_against",
     "simhash",
     "md5_hash32",
     "ngram_jaccard",
@@ -118,9 +119,35 @@ def lsh_candidate_pairs(
     from the pair join — such clusters are better handled by exact dedup on
     the full band fingerprint (they are near-identical by construction).
     """
+    banded = _banded(sigs, id_col, num_bands)
+    if max_bucket_size is not None:
+        # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        banded = (
+            banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
+            .drop("__bsz")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded(sigs: DataFrame, id_col: str, num_bands: int) -> DataFrame:
+    """(id, band, bucket) rows: the signature array sliced into bands, each
+    band hashed to its bucket key — shared by the self-join and the
+    cross-corpus pair paths so both see identical buckets."""
     sig = F.col("signature")
     rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -140,23 +167,36 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_pairs_against(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW batch and an EXISTING
+    corpus (id_new, id_corpus) — the nightly-ingest shape, where re-pairing
+    the whole corpus against itself would redo O(corpus²) banding work.
+
+    Both sides band identically (same signature family), then join on
+    (band, bucket) ACROSS the two tables — the corpus side can be a
+    persisted signature table, so each ingest costs O(new + matched buckets),
+    never another corpus self-join.  The per-(band,bucket) cap guards
+    degenerate buckets exactly like the self-join path.
+    """
+    a = _banded(new_sigs, id_col, num_bands)
+    b = _banded(corpus_sigs, id_col, num_bands)
     if max_bucket_size is not None:
-        # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
-        banded = (
-            banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
-            .drop("__bsz")
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        b = b.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]).drop(
+            "__bsz"
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.withColumnRenamed(id_col, "id_new")
+        .join(b.withColumnRenamed(id_col, "id_corpus"), ["band", "bucket"])
+        .select("id_new", "id_corpus")
         .distinct()
     )
 

@@ -442,3 +442,48 @@ class TestTopkJoin:
         )
         out = topk_join(corpus, queries, k=3, dim=6, bits=4)
         assert [r["vec_id"] for r in out.collect()][0] == 7
+
+
+class TestIncrementalDedup:
+    def test_new_batch_vs_corpus_pairs(self, spark):
+        """Incremental ingest: a new batch's near-dups against an EXISTING
+        corpus must equal the cross-corpus slice of the full self-join."""
+        from dataverifyr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            lsh_pairs_against,
+            minhash_signatures,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely different content about spark execution plans"),
+                (3, "yet another unrelated document regarding audio codecs"),
+            ],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+                (102, "fresh unseen material with no duplicate in the corpus"),
+            ],
+            "doc_id bigint, text string",
+        )
+        c_sigs = minhash_signatures(corpus, num_hashes=32)
+        n_sigs = minhash_signatures(new, num_hashes=32)
+        got = {
+            (r["id_new"], r["id_corpus"])
+            for r in lsh_pairs_against(n_sigs, c_sigs, num_bands=16).collect()
+        }
+        assert got == {(101, 1)}
+
+        # cross slice of the full self-join agrees
+        full = lsh_candidate_pairs(
+            minhash_signatures(corpus.unionByName(new), num_hashes=32), num_bands=16
+        )
+        cross = {
+            (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+            for r in full.collect()
+            if (r["id_a"] > 100) != (r["id_b"] > 100)
+        }
+        assert got == cross
