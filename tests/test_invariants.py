@@ -118,3 +118,18 @@ class TestInvariants:
         # every NULL-symbol row passes under allow_na: fails are disjoint from them
         fail_rows = filter_fails(ruleset(rule(e, allow_na=True)), df)
         assert fail_rows.filter(F.col("a").isNull() | F.col("b").isNull()).count() == 0
+
+
+class TestEmptyInputs:
+    def test_zero_row_data_and_empty_ruleset(self, spark):
+        import dataverifyr_spark as dv
+
+        empty = spark.createDataFrame([], "x double, s string")
+        rows = dv.check_data(
+            empty, dv.ruleset(dv.rule("x > 0"), dv.rule("nchar(s) > 1", allow_na=True))
+        ).collect()
+        assert all((r["tests"], r["pass"], r["fail"]) == (0, 0, 0) for r in rows)
+        assert dv.check_data(empty, dv.ruleset()).count() == 0
+        assert dv.filter_fails(dv.ruleset(dv.rule("x > 0")), empty, tag=True).count() == 0
+        d = {r["var"]: r for r in dv.describe(empty).collect()}
+        assert d["x"]["n"] == 0 and d["x"]["most_frequent"] == ""
