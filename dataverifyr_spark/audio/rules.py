@@ -129,18 +129,37 @@ _UDFS = {
 }
 
 _udf_cache: dict[str, object] = {}
+_udf_cache_ctx: int | None = None
+
+
+def _ctx_cache() -> dict[str, object]:
+    """The UDF cache for the ACTIVE SparkContext.  A wrapped pandas_udf closes
+    over that context's warning accumulator (udf_warnings.capturing resolves
+    it at wrap time) and, once used, JVM handles from that context's session —
+    so after a context restart a stale cache would silently drop executor
+    warnings into a dead accumulator.  Keyed like udf_warnings._acc_ctx_id."""
+    global _udf_cache, _udf_cache_ctx
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    ctx_id = id(sc) if sc is not None else None
+    if ctx_id != _udf_cache_ctx:
+        _udf_cache = {}
+        _udf_cache_ctx = ctx_id
+    return _udf_cache
 
 
 def _get_udf(name: str):
-    if name not in _udf_cache:
+    cache = _ctx_cache()
+    if name not in cache:
         from ..udf_warnings import capturing
 
         impl, typ, _ = _UDFS[name]
         # capture Python warnings raised inside batches so check_data can
         # surface them in the warn column (reference records any evaluation
         # warning, R/check_data.R:248-253)
-        _udf_cache[name] = pandas_udf(capturing(name, impl), typ)
-    return _udf_cache[name]
+        cache[name] = pandas_udf(capturing(name, impl), typ)
+    return cache[name]
 
 
 def register_audio_functions() -> None:
@@ -243,9 +262,10 @@ def with_audio_features(
     """df + decoded audio feature columns (one decode per clip, one Arrow
     batch round-trip).  Adds: {prefix}valid, {prefix}n_samples, {prefix}sr,
     {prefix}dur_ms, {prefix}rms, {prefix}snr_db, {prefix}transcript_ok."""
-    if "audio_probe" not in _udf_cache:
-        _udf_cache["audio_probe"] = pandas_udf(_audio_probe_impl, _PROBE_TYPE)
-    probe = _udf_cache["audio_probe"]
+    cache = _ctx_cache()
+    if "audio_probe" not in cache:
+        cache["audio_probe"] = pandas_udf(_audio_probe_impl, _PROBE_TYPE)
+    probe = cache["audio_probe"]
     struct = probe(F.col(clip_id_col), F.col(bytes_col), F.col(transcript_col))
     out = df.withColumn("__audio_probe", struct)
     for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok"):

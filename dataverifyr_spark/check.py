@@ -472,7 +472,10 @@ def check_data(
                     c.rule,
                     tests,
                     passed,
-                    warn="; ".join(warns),
+                    # unique messages joined with ", " exactly like the
+                    # reference's get_warnings (R/check_data.R:
+                    # paste(unique(out), collapse = ", "))
+                    warn=", ".join(warns),
                     elapsed=rule_times.get(gi, per_rule_time),
                 )
             )

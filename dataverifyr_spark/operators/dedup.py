@@ -183,16 +183,23 @@ def lsh_pairs_against(
     Both sides band identically (same signature family), then join on
     (band, bucket) ACROSS the two tables — the corpus side can be a
     persisted signature table, so each ingest costs O(new + matched buckets),
-    never another corpus self-join.  The per-(band,bucket) cap guards
-    degenerate buckets exactly like the self-join path.
+    never another corpus self-join.  The per-(band,bucket) cap is applied on
+    BOTH sides: a degenerate hot bucket in the NEW batch (thousands of
+    near-identical docs in one band bucket) would otherwise fan out against
+    every matched corpus bucket — the output per (band, bucket) is bounded by
+    cap², exactly like the self-join path.
     """
     a = _banded(new_sigs, id_col, num_bands)
     b = _banded(corpus_sigs, id_col, num_bands)
     if max_bucket_size is not None:
-        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
-        b = b.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]).drop(
-            "__bsz"
-        )
+
+        def _cap(side: DataFrame) -> DataFrame:
+            sizes = side.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+            return side.join(
+                sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]
+            ).drop("__bsz")
+
+        a, b = _cap(a), _cap(b)
     return (
         a.withColumnRenamed(id_col, "id_new")
         .join(b.withColumnRenamed(id_col, "id_corpus"), ["band", "bucket"])

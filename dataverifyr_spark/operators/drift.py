@@ -57,17 +57,44 @@ def snapshot_baseline(df: DataFrame, value_col: str, lo: float, hi: float, bins:
     histogram(df, value_col, lo, hi, bins).write.mode("overwrite").parquet(path)
 
 
+def _aligned(current: DataFrame, baseline: DataFrame, by: str | None) -> DataFrame:
+    """(by?, bucket, cur_frac, base_frac) — every key sees EVERY baseline
+    bucket.  With a ``by`` key the (keyless, bins-row) baseline is first
+    expanded across cur's distinct keys; a plain full-outer on bucket alone
+    would route baseline buckets absent from one key's histogram into a
+    spurious NULL-key group, leaving that key's base CDF summing < 1 (wrong
+    KS, and wrong PSI in the fused path) whenever a key lacks a bucket —
+    common for sparse categories.  The expansion is keys × bins rows (tiny;
+    baseline side broadcast)."""
+    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
+    cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
+    if by is None:
+        return cur.join(base, "bucket", "full_outer").fillna(
+            {"cur_frac": 0.0, "base_frac": 0.0}
+        )
+    expanded = cur.select(by).distinct().crossJoin(F.broadcast(base))
+    c, e = cur.alias("c"), expanded.alias("e")
+    j = c.join(
+        e,
+        F.col(f"c.{by}").eqNullSafe(F.col(f"e.{by}"))
+        & (F.col("c.bucket") == F.col("e.bucket")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col(f"c.{by}"), F.col(f"e.{by}")).alias(by),
+        F.coalesce(F.col("c.bucket"), F.col("e.bucket")).alias("bucket"),
+        F.coalesce(F.col("c.cur_frac"), F.lit(0.0)).alias("cur_frac"),
+        F.coalesce(F.col("e.base_frac"), F.lit(0.0)).alias("base_frac"),
+    )
+
+
 def psi(current: DataFrame, baseline: DataFrame, by: str | None = None) -> DataFrame:
     """Population Stability Index per partition key (or one global row).
 
     PSI = Σ_b (cur_b - base_b) * ln(cur_b / base_b); >0.2 is conventional
     drift; smoothing avoids log(0) on empty buckets.
     """
-    base = baseline.select(F.col("bucket").alias("bucket"), F.col("frac").alias("base_frac"))
-    cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
-    j = cur.join(base, "bucket", "full_outer").fillna(
-        {"cur_frac": 0.0, "base_frac": 0.0}
-    )
+    j = _aligned(current, baseline, by)
     c = F.col("cur_frac") + _EPS
     b = F.col("base_frac") + _EPS
     term = (c - b) * F.log(c / b)
@@ -84,9 +111,7 @@ def ks(current: DataFrame, baseline: DataFrame, by: str | None = None) -> DataFr
     """
     from pyspark.sql.window import Window
 
-    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
-    cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
-    j = cur.join(base, "bucket", "full_outer").fillna({"cur_frac": 0.0, "base_frac": 0.0})
+    j = _aligned(current, baseline, by)
     w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy("bucket")
     j = j.withColumn("__gap", F.abs(F.sum("cur_frac").over(w) - F.sum("base_frac").over(w)))
     if by:
@@ -111,10 +136,7 @@ def drift_check(
     from pyspark.sql.window import Window
 
     cur = histogram(df, value_col, lo, hi, bins, by=by)
-    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
-    j = cur.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac")).join(
-        base, "bucket", "full_outer"
-    ).fillna({"cur_frac": 0.0, "base_frac": 0.0})
+    j = _aligned(cur, baseline, by)
     c = F.col("cur_frac") + _EPS
     b = F.col("base_frac") + _EPS
     w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy("bucket")

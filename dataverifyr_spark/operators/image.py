@@ -80,11 +80,16 @@ def _ppm_header(blob: bytes) -> tuple[int, int, int]:
             pos += 1
         if start == pos:
             raise ImageError("truncated PPM header")
-        fields.append(int(blob[start:pos]))
+        field = blob[start:pos]
+        if not field.isdigit():  # int() on garbage must stay an ImageError
+            raise ImageError(f"non-numeric PPM header field {field!r}")
+        fields.append(int(field))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:
         raise ImageError(f"only maxval=255 PPM supported, got {maxval}")
+    if w <= 0 or h <= 0:
+        raise ImageError(f"invalid PPM dimensions {w}x{h}")
     return w, h, pos
 
 
@@ -120,6 +125,8 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         raise ImageError(f"only 24bpp BI_RGB BMP supported (bpp={bpp}, comp={compression})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ImageError(f"invalid BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     need = stride * h
     data = np.frombuffer(blob, dtype=np.uint8, count=-1, offset=off)
@@ -186,12 +193,15 @@ def y4m_info(blob: bytes) -> tuple[int, int, int, int]:
     w = h = None
     colorspace = "C420"
     for tok in blob[:end].split(b" ")[1:]:
-        if tok[:1] == b"W":
-            w = int(tok[1:])
-        elif tok[:1] == b"H":
-            h = int(tok[1:])
+        if tok[:1] in (b"W", b"H"):
+            if not tok[1:].isdigit():
+                raise ImageError(f"non-numeric Y4M header field {tok!r}")
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            else:
+                h = int(tok[1:])
         elif tok[:1] == b"C":
-            colorspace = tok.decode()
+            colorspace = tok.decode("ascii", errors="replace")
     if not w or not h:
         raise ImageError("Y4M header missing W/H")
     if not colorspace.startswith("C420"):
@@ -319,6 +329,14 @@ def image_probe(
                     )
                 except ImageError as exc:
                     rows.append((str(mid), False, None, None, None, None, None, None, None, str(exc)))
+                except Exception as exc:  # noqa: BLE001 — the probe contract is
+                    # "never exceptions": a malformed container must become an
+                    # invalid ROW, not a dead task, even when the decoder
+                    # raises something other than ImageError
+                    rows.append(
+                        (str(mid), False, None, None, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_PROBE_SCHEMA.fields])
 
     src = df.select(df[id_col].cast("string").alias(id_col), df[bytes_col].alias(bytes_col))

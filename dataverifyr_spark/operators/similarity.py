@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,85 @@ def hash_u64(x: int) -> int:
     return z ^ (z >> 31)
 
 
+# plane-tensor elements (bands × bits × dim) above which the sign-bit codes
+# are computed by an Arrow-batched pandas UDF over a BROADCAST numpy matrix
+# instead of an in-plan literal fold.  Catalyst ANALYSIS walks every element
+# of a nested literal (measured in ivf.py: k=1024 × dim=128 ≈ 131k elements
+# costs ~54 s of pure analysis), so production embedding dims (768–4096) with
+# bits=32+ must not enter the plan as literals.  Same policy knob as
+# ivf._EXPR_ASSIGN_MAX.
+_EXPR_LSH_MAX = 8192
+
+
+def _lsh_codes(
+    vec_col: str,
+    df: DataFrame,
+    dim: int,
+    bits: int,
+    band_seeds: list[int],
+) -> Column:
+    """``array<long>`` of packed sign-bit codes, one entry per band seed.
+
+    Small tensors: the WHOLE bands×bits×dim plane tensor enters the plan as a
+    single nested ``array<array<array<double>>>`` literal, and each band's
+    code is ONE ``aggregate`` fold pairing planes with bit weights — one
+    traversal of the band's planes per row, instead of the previous
+    bits-deep chain of separate dim-length literals (bits×dim literal nodes
+    and bits full-vector CASE branches per band).
+
+    Large tensors (> ``_EXPR_LSH_MAX`` elements): one Arrow-batched pandas
+    UDF computes ``sign(X @ P.T)`` for all bands in a single BLAS matmul
+    against a broadcast plane matrix — no per-row Python, and the floats ship
+    to each executor once instead of inside every task's serialized plan.
+    Sign of a near-zero dot product may differ between the two paths (fold is
+    left-to-right, BLAS is pairwise), which only perturbs bucket assignment
+    of boundary vectors — LSH recall math is unaffected.
+    """
+    if bits > 62:
+        raise ValueError(f"bits must be <= 62 to pack into a signed long, got {bits}")
+    bands = len(band_seeds)
+    planes = [_hyperplanes(dim, bits, s) for s in band_seeds]  # bands × bits × dim
+
+    if bands * bits * dim <= _EXPR_LSH_MAX:
+        vec = F.col(vec_col)
+        weights = F.lit([1 << i for i in range(bits)])  # array<long>, distinct powers
+
+        def band_code(band_planes: list[list[float]]) -> Column:
+            pairs = F.zip_with(
+                F.lit(band_planes),
+                weights,
+                lambda p, w: F.struct(w.alias("w"), p.alias("p")),
+            )
+
+            def step(acc: Column, pr: Column) -> Column:
+                d = F.aggregate(
+                    F.zip_with(vec, pr["p"], lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                # weights are distinct powers of two, so + is bitwise OR
+                return acc + F.when(d >= 0, pr["w"]).otherwise(F.lit(0).cast("long"))
+
+            return F.aggregate(pairs, F.lit(0).cast("long"), step)
+
+        return F.array(*[band_code(bp) for bp in planes])
+
+    mat = np.asarray(planes, dtype=np.float64).reshape(bands * bits, dim)
+    bc = df.sparkSession.sparkContext.broadcast(mat)
+    n_bands, n_bits = bands, bits
+
+    @F.pandas_udf("array<long>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        m = bc.value
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        signs = (x @ m.T) >= 0.0  # (n, bands*bits)
+        w = np.left_shift(np.int64(1), np.arange(n_bits, dtype=np.int64))
+        packed = (signs.reshape(len(x), n_bands, n_bits) * w).sum(axis=2)
+        return pd.Series([row.tolist() for row in packed])
+
+    return _codes(F.col(vec_col))
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -97,15 +178,7 @@ def hyperplane_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Add a ``bucket`` column: sign bits of <vec, plane_b> packed into a long."""
-    planes = _hyperplanes(dim, bits, seed)
-    bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(bit)
-    return df.withColumn("bucket", bucket)
+    return df.withColumn("bucket", _lsh_codes(vec_col, df, dim, bits, [seed])[0])
 
 
 def lsh_topk(
@@ -156,23 +229,12 @@ def embedding_near_dup_pairs(
     quadratic cost of degenerate clusters (e.g. all-zero embeddings)
     exactly like the MinHash-LSH path.  No cross join anywhere.
     """
+    band_seeds = [seed + 7919 * b for b in range(bands)]
     codes = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _code_for_band(F.col(vec_col), dim, bits, seed + 7919 * b).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+        F.posexplode(_lsh_codes(vec_col, df, dim, bits, band_seeds)).alias("band", "bucket"),
+    )
     if max_bucket_size is not None:
         sizes = codes.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         codes = codes.join(
@@ -199,19 +261,6 @@ def embedding_near_dup_pairs(
         enriched.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
-
-
-def _code_for_band(vec: Column, dim: int, bits: int, seed: int) -> Column:
-    """Packed sign-bit code for one band's hyperplane set."""
-    planes = _hyperplanes(dim, bits, seed)
-    code = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(
-            _dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        code = code.bitwiseOR(bit)
-    return code
 
 
 def lsh_topk_multiprobe(

@@ -214,3 +214,27 @@ class TestSilenceRatio:
         # and through the rule dialect
         row = dv.check_data(df, dv.rule("audio_silence_ratio(bytes) < 0.9", name="not_silent")).collect()[0]
         assert (row["pass"], row["fail"]) == (2, 1)
+
+
+class TestUdfCacheInvalidation:
+    def test_cache_keyed_by_spark_context(self, spark):
+        """A cached wrapped pandas_udf closes over its context's warning
+        accumulator; after a SparkContext restart the cache must rebuild so
+        executor warnings reach the LIVE accumulator (not the dead one)."""
+        from dataverifyr_spark.audio import rules as arules
+
+        cache = arules._ctx_cache()
+        arules._get_udf("audio_bytes_probe")
+        assert "audio_bytes_probe" in arules._ctx_cache()
+        assert arules._ctx_cache() is cache  # stable while the context lives
+
+        saved_ctx = arules._udf_cache_ctx
+        try:
+            arules._udf_cache_ctx = -1  # simulate a context restart
+            fresh = arules._ctx_cache()
+            assert fresh is not cache and "audio_bytes_probe" not in fresh
+        finally:
+            # restore: next call re-keys to the live context and rebuilds
+            arules._udf_cache_ctx = saved_ctx
+            arules._udf_cache = cache
+        assert arules._ctx_cache() is cache

@@ -156,6 +156,36 @@ class TestStopGates:
         assert "deprecated threshold semantics" in by["warns"]["warn"]
         assert by["clean"]["warn"] == ""
 
+    def test_multiple_warnings_joined_like_reference(self, spark, cars_df):
+        """Unique warning messages join with ", " exactly like the
+        reference's get_warnings (R/check_data.R:
+        paste(unique(out), collapse = ", ")) — including a repeated message
+        appearing once."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from dataverifyr_spark.expr import register_function
+        from dataverifyr_spark.udf_warnings import capturing
+
+        def _noisy_impl(s: pd.Series) -> pd.Series:
+            import warnings as w
+
+            w.warn("warn alpha")
+            w.warn("warn beta")
+            w.warn("warn alpha")  # duplicate: must appear once
+            return s > 15
+
+        holder = {}
+
+        def builder(ctx, nodes, cols):
+            if "u" not in holder:
+                holder["u"] = pandas_udf(capturing("noisy_gt15", _noisy_impl), "boolean")
+            return holder["u"](cols[0])
+
+        register_function("noisy_gt15", builder)
+        res = _rows(check_data(cars_df, ruleset(rule("noisy_gt15(mpg)", name="noisy"))))
+        assert res[0]["warn"] == "warn alpha, warn beta"
+
 
 class TestOrdersReadme:
     # README.md:108-150 golden: each rule tests=8, pass=6, fail=2

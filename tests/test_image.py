@@ -156,3 +156,50 @@ class TestImageProbe:
         assert by["decodes"] == (2, 2)
         assert by["min_dims"] == (4, 0)  # NULL dims rescued by allow_na
         assert by["not_black"] == (4, 0)
+
+
+class TestMalformedContainers:
+    """Malformed headers must raise ImageError (never ValueError or a numpy
+    reshape crash), and the Spark probe must turn ANY decoder exception into
+    an (img_valid=false, img_error=...) row — the 'never exceptions'
+    contract."""
+
+    def test_ppm_non_numeric_header_field(self):
+        with pytest.raises(ImageError, match="non-numeric"):
+            decode_ppm(b"P6\nabc 10\n255\n" + b"\x00" * 300)
+
+    def test_ppm_zero_dims(self):
+        with pytest.raises(ImageError, match="dimensions"):
+            decode_ppm(b"P6\n0 10\n255\n")
+
+    def test_bmp_zero_width(self):
+        blob = bytearray(TestBMP._encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        blob[18:22] = (0).to_bytes(4, "little", signed=True)  # width = 0
+        with pytest.raises(ImageError, match="dimensions"):
+            decode_bmp(bytes(blob))
+
+    def test_y4m_non_numeric_dims(self):
+        from dataverifyr_spark.operators.image import y4m_info
+
+        with pytest.raises(ImageError, match="non-numeric"):
+            y4m_info(b"YUV4MPEG2 Wxx H4 F25:1 C420\nFRAME\n")
+
+    def test_probe_survives_garbage_blobs(self, spark):
+        """One garbage blob must not kill the task: every malformed container
+        becomes an invalid ROW with the message recorded."""
+        from dataverifyr_spark.operators.image import image_probe
+
+        rows = [
+            ("ok", bytearray(encode_ppm(np.full((3, 4, 3), 9, dtype=np.uint8)))),
+            ("nonnum", bytearray(b"P6\n# c\nzz 4\n255\n" + b"\x01" * 64)),
+            ("negdim", bytearray(b"P6\n4 -2\n255\n" + b"\x01" * 64)),
+            ("junk", bytearray(b"\x00\x01\x02\x03garbage")),
+            ("empty", bytearray(b"")),
+            ("null", None),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, bytes binary")
+        got = {r["media_id"]: r for r in image_probe(df).collect()}
+        assert got["ok"]["img_valid"] is True
+        for mid in ("nonnum", "negdim", "junk", "empty", "null"):
+            assert got[mid]["img_valid"] is False, mid
+            assert got[mid]["img_error"], mid

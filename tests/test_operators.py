@@ -487,3 +487,121 @@ class TestIncrementalDedup:
             if (r["id_a"] > 100) != (r["id_b"] > 100)
         }
         assert got == cross
+
+
+class TestLshCodes:
+    """The adaptive sign-bit code computation (similarity._lsh_codes): one
+    plane-tensor literal + fold below _EXPR_LSH_MAX, broadcast-numpy Arrow UDF
+    above it — the same plan-growth guard as ivf._EXPR_ASSIGN_MAX, applied to
+    the hyperplane-LSH family."""
+
+    def _df(self, spark, dim, n=40):
+        rows = [(i, [math.sin(i * 0.7 + d) for d in range(dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_udf_path_matches_expr_path(self, spark):
+        from dataverifyr_spark.operators import similarity as sim
+
+        df = self._df(spark, dim=8)
+        seeds = [42, 42 + 7919]
+
+        def codes():
+            return {
+                r["vec_id"]: list(r["codes"])
+                for r in df.select(
+                    "vec_id", sim._lsh_codes("embedding", df, 8, 6, seeds).alias("codes")
+                ).collect()
+            }
+
+        expr_codes = codes()
+        old = sim._EXPR_LSH_MAX
+        sim._EXPR_LSH_MAX = 0  # force the UDF path on the same tiny tensor
+        try:
+            udf_codes = codes()
+        finally:
+            sim._EXPR_LSH_MAX = old
+        assert expr_codes == udf_codes
+
+    def test_production_dims_use_udf_and_bound_analysis_time(self, spark):
+        # dim=768, bits=32, bands=4 → 98,304 tensor elements: the literal path
+        # would cost tens of seconds of pure Catalyst ANALYSIS (measured for
+        # the same regime in ivf.py); the UDF path must keep end-to-end small
+        import contextlib
+        import io
+        import time
+
+        from dataverifyr_spark.operators import similarity as sim
+
+        dim, bits, bands = 768, 32, 4
+        df = self._df(spark, dim=dim, n=60)
+        seeds = [42 + 7919 * b for b in range(bands)]
+        t0 = time.perf_counter()
+        out = df.select("vec_id", sim._lsh_codes("embedding", df, dim, bits, seeds).alias("codes"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "ArrowEvalPython" in phys, phys  # UDF path engaged
+        rows = out.collect()
+        assert time.perf_counter() - t0 < 30.0
+        assert all(len(r["codes"]) == bands for r in rows)
+        # deterministic across invocations (broadcast planes are seeded)
+        again = out.collect()
+        assert {r["vec_id"]: list(r["codes"]) for r in rows} == {
+            r["vec_id"]: list(r["codes"]) for r in again
+        }
+
+    def test_near_dup_pairs_still_exact_with_forced_udf(self, spark):
+        # the near-dup pipeline end-to-end must find the same pairs whichever
+        # code path computes the band codes
+        from dataverifyr_spark.operators import similarity as sim
+
+        base = self._df(spark, dim=8, n=25)
+        dups = base.select(
+            (F.col("vec_id") + 100).alias("vec_id"),
+            F.transform("embedding", lambda v: v + F.lit(1e-5)).alias("embedding"),
+        )
+        allv = base.unionByName(dups)
+
+        def pairs():
+            return {
+                (r["id_a"], r["id_b"])
+                for r in sim.embedding_near_dup_pairs(
+                    allv, dim=8, threshold=0.999, bits=8, bands=4, id_col="vec_id"
+                ).collect()
+            }
+
+        expr_pairs = pairs()
+        old = sim._EXPR_LSH_MAX
+        sim._EXPR_LSH_MAX = 0
+        try:
+            udf_pairs = pairs()
+        finally:
+            sim._EXPR_LSH_MAX = old
+        assert expr_pairs == udf_pairs
+        assert {(i, i + 100) for i in range(25)} <= expr_pairs
+
+
+class TestIncrementalDedupCap:
+    def test_new_side_hot_bucket_is_capped(self, spark):
+        """A degenerate NEW batch (many near-identical docs in one band
+        bucket) must not fan out against the corpus: the per-(band,bucket)
+        cap applies to BOTH sides, so pair output per bucket is bounded by
+        cap² instead of |new_bucket| × cap."""
+        from dataverifyr_spark.operators.dedup import lsh_pairs_against, minhash_signatures
+
+        text = "identical boilerplate text repeated across every single document here"
+        corpus = spark.createDataFrame(
+            [(i, text) for i in range(5)], "doc_id bigint, text string"
+        )
+        new = spark.createDataFrame(
+            [(1000 + i, text) for i in range(50)], "doc_id bigint, text string"
+        )
+        c_sigs = minhash_signatures(corpus, num_hashes=32)
+        n_sigs = minhash_signatures(new, num_hashes=32)
+        # uncapped: every identical doc shares every band bucket → 50×5 pairs
+        assert lsh_pairs_against(n_sigs, c_sigs, max_bucket_size=None).count() == 250
+        # cap below the new batch's bucket size: the hot NEW bucket drops too
+        assert lsh_pairs_against(n_sigs, c_sigs, max_bucket_size=10).count() == 0
+        # cap above both sides' bucket sizes: nothing dropped
+        assert lsh_pairs_against(n_sigs, c_sigs, max_bucket_size=100).count() == 250

@@ -63,6 +63,52 @@ class TestDrift:
         assert rows[0]["drifted"] is True
         assert rows[1]["drifted"] is False
 
+    def test_per_key_sparse_buckets_see_full_baseline(self, spark, base):
+        """Regression: with a ``by`` key, baseline buckets absent from one
+        key's histogram must still enter THAT key's PSI/KS — joining on
+        bucket alone routed them into a spurious NULL-key group and left the
+        key's base CDF summing < 1.  Here NO key has any upper-half bucket,
+        so all five upper baseline buckets used to vanish into a NULL row."""
+        import math
+
+        from dataverifyr_spark.operators.drift import histogram, ks, psi
+
+        b = histogram(base, "v", 0.0, 100.0, bins=10)  # uniform: 0.1 per bucket
+        cur_df = spark.range(0, 10000).select(
+            (F.col("id") % 2).alias("pk"),
+            (F.col("id") % 50).cast("double").alias("v"),  # lower half only
+        )
+        cur = histogram(cur_df, "v", 0.0, 100.0, bins=10, by="pk")
+
+        psi_rows = psi(cur, b, by="pk").collect()
+        assert {r["pk"] for r in psi_rows} == {0, 1}  # no spurious NULL key
+        # per key: 5 present buckets (0.2 vs 0.1) + 5 MISSING buckets (0 vs
+        # 0.1, the eps-smoothed penalty the bug dropped)
+        eps = 1e-6
+        expected = 5 * (0.1 * math.log(0.200001 / 0.100001)) + 5 * (
+            (eps - 0.100001) * math.log(eps / 0.100001)
+        )
+        for r in psi_rows:
+            assert r["psi"] == pytest.approx(expected, rel=1e-3)
+
+        ks_rows = ks(cur, b, by="pk").collect()
+        assert {r["pk"] for r in ks_rows} == {0, 1}
+        for r in ks_rows:
+            assert r["ks"] == pytest.approx(0.5, abs=1e-9)
+
+    def test_per_key_drift_check_counts_missing_buckets(self, spark, base):
+        from dataverifyr_spark.operators.drift import drift_check, histogram
+
+        b = histogram(base, "v", 0.0, 100.0, bins=10)
+        cur_df = spark.range(0, 10000).select(
+            (F.col("id") % 2).alias("pk"),
+            (F.col("id") % 50).cast("double").alias("v"),
+        )
+        rows = drift_check(cur_df, "v", b, 0.0, 100.0, bins=10, by="pk").collect()
+        assert {r["pk"] for r in rows} == {0, 1}
+        for r in rows:
+            assert r["psi"] > 5.0 and r["drifted"] is True  # bug gave ~0.35
+
 
 class TestLedger:
     def test_resume_skips_completed_partitions(self, spark, tmp_path):
