@@ -358,6 +358,54 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
 
 
+def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-payload validation: real Y4M header math + offset-seek frame
+    SAMPLING in one Arrow pass (operators/image.py video_probe), rules fused
+    over the probe columns.  Oracle recomputes the fixture's injection
+    cadence (VID_SHORT/DARK/CORRUPT_EVERY) from generate_series — the Spark
+    side must hit the counts through real stream parsing."""
+    from dataverifyr_spark.operators.image import video_probe, videos_table
+
+    vids = videos_table(spark, 500)
+    rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_mean_luma > 1", name="not_black", allow_na=True),
+    )
+    return dv.check_data(video_probe(vids), rules).select(*_SUMMARY_COLS)
+
+
+def q_lsh_pairs_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: the documents table split into an
+    existing CORPUS (even doc_id) and a NEW batch (odd doc_id);
+    lsh_pairs_against bands both sides and joins across them, then exact
+    3-gram Jaccard verifies candidates.  Oracled against DuckDB's exact
+    all-pairs Jaccard restricted to cross-half pairs — certifying the
+    incremental path loses no true pair, like the self-join gate."""
+    from dataverifyr_spark.operators.dedup import (
+        lsh_pairs_against,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    c_sigs = minhash_signatures(corpus, "text", "doc_id", num_hashes=32, shingle_k=3)
+    n_sigs = minhash_signatures(new, "text", "doc_id", num_hashes=32, shingle_k=3)
+    pairs = lsh_pairs_against(n_sigs, c_sigs, "doc_id", num_bands=16)
+    texts = docs.select("doc_id", "text")
+    enriched = pairs.join(
+        texts.withColumnRenamed("doc_id", "id_new").withColumnRenamed("text", "text_a"),
+        "id_new",
+    ).join(
+        texts.withColumnRenamed("doc_id", "id_corpus").withColumnRenamed("text", "text_b"),
+        "id_corpus",
+    )
+    verified = ngram_jaccard(enriched, "text_a", "text_b", k=3)
+    return verified.filter(F.col("jaccard") >= 0.7).select("id_new", "id_corpus", "jaccard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_lineitem": q_check_lineitem,
@@ -383,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
         "image_validate": q_image_validate,
+        "video_validate": q_video_validate,
+        "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
 
 
@@ -656,6 +706,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7
     """
 
+    # incremental cross-corpus dedup: exact cross-half (even=corpus,
+    # odd=new) Jaccard pairs — the LSH-banded path must lose none
+    lsh_pairs_against = f"""
+    WITH {shingle_cte}
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+           CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_corpus,
+           jaccard
+    FROM jac
+    WHERE jaccard >= 0.7 AND (id_a % 2) <> (id_b % 2)
+    """
+
     # components: min-reachable-id via recursive CTE over the exact-Jaccard
     # edge list; every doc seeds its own label, so isolated docs keep their id
     near_dup_groups = f"""
@@ -728,6 +789,35 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
            CAST(COUNT(*) - SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail
     FROM iflags"""
+
+    # video fixture cadence (operators/image.py VID_*_EVERY): decode fails on
+    # broken-magic rows (every 13th); short rows (every 7th) have 2 frames;
+    # dark rows (every 11th) fail the luma rule only when they decode
+    # (allow_na rescues NULL probe columns on invalid rows)
+    def video_rule_row(name: str, expr: str, allow_na: str, pass_cond: str) -> str:
+        return f"""
+    SELECT 'row_rule' AS check_type, '{name}' AS name, '{expr}' AS expr,
+           {allow_na} AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM vflags"""
+
+    video_validate = """
+    WITH vflags AS (
+      SELECT i,
+             (i > 0 AND i % 13 = 0) AS corrupt,
+             (i > 0 AND i % 7 = 0) AS short,
+             (i > 0 AND i % 11 = 0) AS dark
+      FROM (SELECT unnest(generate_series(0, 499)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            video_rule_row("decodes", "vid_valid", "FALSE", "NOT corrupt"),
+            video_rule_row("enough_frames", "vid_n_frames >= 5", "TRUE", "corrupt OR NOT short"),
+            video_rule_row("not_black", "vid_mean_luma > 1", "TRUE", "corrupt OR NOT dark"),
+        ]
+    )
 
     image_validate = """
     WITH iflags AS (
@@ -808,6 +898,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_lineitem": drift,
         "near_dup_pairs_embeddings": near_dup,
         "lsh_jaccard_pairs_documents": lsh_jaccard,
+        "lsh_pairs_against_documents": lsh_pairs_against,
+        "video_validate": video_validate,
         "embedding_dedup_groups": embedding_dedup,
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,

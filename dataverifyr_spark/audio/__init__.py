@@ -2,7 +2,12 @@
 fixtures, and Arrow-batched pandas-UDF rules over binary audio columns."""
 
 from .fixtures import allowed_codecs, clips_table, expected_pcm, expected_transcript
-from .rules import audio_ruleset, register_audio_functions, with_audio_features
+from .rules import (
+    audio_ruleset,
+    register_audio_functions,
+    with_audio_features,
+    with_audio_features_vs,
+)
 from .wav import decode_wav, encode_wav_pcm16, snr_db
 
 __all__ = [
@@ -15,5 +20,6 @@ __all__ = [
     "expected_transcript",
     "register_audio_functions",
     "with_audio_features",
+    "with_audio_features_vs",
     "audio_ruleset",
 ]

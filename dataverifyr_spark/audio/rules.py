@@ -273,6 +273,90 @@ def with_audio_features(
     return out.drop("__audio_probe")
 
 
+# vs-reference probe: decodes the ACTUAL and the REFERENCE byte columns in
+# the same Arrow batch — the corpus shape where expectations exist only as
+# columns of a reference table (no generator), e.g. validating a transcoded
+# corpus against the originals
+_PROBE_VS_TYPE = (
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, snr_db double"
+)
+
+
+def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame:
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db")}
+    for blob, ref_blob in zip(blobs, ref_blobs):
+        d = _decode(blob)
+        if d is None:
+            out["valid"].append(False)
+            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db"):
+                out[k].append(None)
+            continue
+        samples, sr = d
+        out["valid"].append(True)
+        out["n_samples"].append(len(samples))
+        out["sr"].append(sr)
+        out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
+        x = samples.astype(np.float64) / 32767.0
+        out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
+        snr = None
+        r = _decode(ref_blob)
+        if r is not None:
+            ref_samples, ref_sr = r
+            if ref_sr == sr:
+                # shape mismatch → snr_db returns -inf → the >=30 rule fails,
+                # which is the right verdict for a truncated/padded clip
+                snr = float(snr_db(ref_samples.astype(np.float64) / 32767.0, x))
+        out["snr_db"].append(snr)
+    return pd.DataFrame(out)
+
+
+def with_audio_features_vs(
+    df,
+    expected,
+    on: str = "clip_id",
+    bytes_col: str = "bytes",
+    transcript_col: str = "transcript",
+    expected_bytes_col: str = "expected_bytes",
+    expected_transcript_col: str = "expected_transcript",
+    prefix: str = "audio_",
+    broadcast_expected: bool = False,
+):
+    """df + the same audio feature columns as :func:`with_audio_features`,
+    with expectations taken from a REFERENCE TABLE instead of the synthetic
+    generator: SNR compares the decoded clip against the decoded
+    ``expected_bytes`` column, transcript equality against the
+    ``expected_transcript`` column (pure Catalyst — no UDF for that part).
+
+    The join is a plain equi-join on ``on`` (left: clips with no reference
+    row get NULL features from the expectation side, so the SNR/transcript
+    rules fail for them unless allow_na).  At scale: set
+    ``broadcast_expected`` for a small reference table, or bucket/partition
+    BOTH tables by ``on`` so the payload-bytes join is co-located; AQE handles
+    skewed clip_id the same as any other join here.
+    """
+    exp = expected.select(
+        F.col(on), F.col(expected_bytes_col), F.col(expected_transcript_col)
+    )
+    if broadcast_expected:
+        exp = F.broadcast(exp)
+    joined = df.join(exp, on=on, how="left")
+
+    cache = _ctx_cache()
+    if "audio_probe_vs" not in cache:
+        cache["audio_probe_vs"] = pandas_udf(_audio_probe_vs_impl, _PROBE_VS_TYPE)
+    probe = cache["audio_probe_vs"]
+    struct = probe(F.col(bytes_col), F.col(expected_bytes_col))
+    out = joined.withColumn("__audio_probe", struct)
+    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db"):
+        out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
+    t, e = F.col(transcript_col), F.col(expected_transcript_col)
+    out = out.withColumn(
+        f"{prefix}transcript_ok",
+        F.when(t.isNull() | e.isNull(), F.lit(None).cast("boolean")).otherwise(t == e),
+    )
+    return out.drop("__audio_probe", expected_bytes_col, expected_transcript_col)
+
+
 def audio_ruleset(require_snr_db: float = 30.0):
     """The input_hint invariant ruleset over with_audio_features() columns —
     plain column predicates, fully fusable."""

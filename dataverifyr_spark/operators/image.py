@@ -42,6 +42,9 @@ __all__ = [
     "image_probe",
     "images_table",
     "IMAGE_PROBE_SCHEMA",
+    "video_probe",
+    "videos_table",
+    "VIDEO_PROBE_SCHEMA",
 ]
 
 
@@ -341,3 +344,98 @@ def image_probe(
 
     src = df.select(df[id_col].cast("string").alias(id_col), df[bytes_col].alias(bytes_col))
     return src.mapInPandas(probe, IMAGE_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video (Y4M) fixture + Spark probe: same design as images_table/image_probe —
+# deterministic index-derived frames, violations at pure index cadences so an
+# SQL oracle recomputes expected rule counts, and ONE Arrow pass whose frame
+# access is offset-seek sampling (y4m_sample_frames), not a full-stream read
+# ---------------------------------------------------------------------------
+
+VID_SHORT_EVERY = 7  # only 2 frames (frame-count rule fails)
+VID_DARK_EVERY = 11  # all-zero luma (brightness rule fails)
+VID_CORRUPT_EVERY = 13  # broken magic (decode fails)
+VID_BASE_FRAMES = 5
+
+
+def _make_video_row(i: int) -> tuple:
+    w, h = 16 + (i % 3) * 2, 8 + (i % 2) * 2  # even dims (C420)
+    n_frames = VID_BASE_FRAMES + i % 4
+    if i > 0 and i % VID_SHORT_EVERY == 0:
+        n_frames = 2
+    f, y, x = np.mgrid[0:n_frames, 0:h, 0:w]
+    frames = ((x * 3 + y * 5 + f * 7 + i) % 200 + 50).astype(np.uint8)
+    if i > 0 and i % VID_DARK_EVERY == 0:
+        frames[:] = 0
+    blob = encode_y4m(frames, w, h)
+    if i > 0 and i % VID_CORRUPT_EVERY == 0:
+        blob = b"XXXX" + blob[4:]
+    return (f"vid-{i:08d}", bytearray(blob))
+
+
+def videos_table(spark, n: int = 500, num_partitions: int | None = None) -> DataFrame:
+    """Generate the Y4M video fixture distributed (rows built on executors)."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_video_row)
+    return spark.createDataFrame(
+        rdd,
+        T.StructType(
+            [
+                T.StructField("media_id", T.StringType(), False),
+                T.StructField("bytes", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+VIDEO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("vid_valid", T.BooleanType(), False),
+        T.StructField("vid_width", T.IntegerType(), True),
+        T.StructField("vid_height", T.IntegerType(), True),
+        T.StructField("vid_n_frames", T.IntegerType(), True),
+        T.StructField("vid_mean_luma", T.DoubleType(), True),
+        T.StructField("vid_error", T.StringType(), True),
+    ]
+)
+
+
+def video_probe(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    every_n: int = 2,
+) -> DataFrame:
+    """Decode-once video feature probe (mapInPandas, partition-preserving).
+
+    Frame stats come from SAMPLED frames only (every ``every_n``-th, located
+    by offset arithmetic) — on a multi-GB clip the probe touches 1/every_n of
+    the payload bytes; the frame COUNT is pure header math and touches none.
+    Bad containers become (vid_valid=false, vid_error=...) rows, never
+    exceptions — the same contract as image_probe."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    b = bytes(blob) if blob is not None else None
+                    if b is None:
+                        raise ImageError("NULL payload")
+                    w, h, n_frames, _ = y4m_info(b)
+                    sampled = y4m_sample_frames(b, every_n=every_n)
+                    luma = float(sampled.mean()) if sampled.size else None
+                    rows.append((str(mid), True, w, h, n_frames, luma, None))
+                except ImageError as exc:
+                    rows.append((str(mid), False, None, None, None, None, str(exc)))
+                except Exception as exc:  # noqa: BLE001 — never-exceptions contract
+                    rows.append(
+                        (str(mid), False, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_PROBE_SCHEMA.fields])
+
+    src = df.select(df[id_col].cast("string").alias(id_col), df[bytes_col].alias(bytes_col))
+    return src.mapInPandas(probe, VIDEO_PROBE_SCHEMA)

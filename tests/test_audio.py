@@ -238,3 +238,84 @@ class TestUdfCacheInvalidation:
             arules._udf_cache_ctx = saved_ctx
             arules._udf_cache = cache
         assert arules._ctx_cache() is cache
+
+
+class TestAudioVsReferenceTable:
+    """with_audio_features_vs: expectations from a REFERENCE TABLE (joined
+    expected_bytes / expected_transcript columns) instead of the synthetic
+    generator — the real-corpus shape where no generator exists."""
+
+    @pytest.fixture(scope="class")
+    def expected_table(self, spark):
+        from dataverifyr_spark.audio.fixtures import (
+            SAMPLE_RATES,
+            _rng,
+            expected_pcm,
+            expected_transcript,
+        )
+        from dataverifyr_spark.audio.wav import encode_wav_pcm16
+
+        rows = []
+        for i in range(200):
+            sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+            dur = 200 + int(_rng(i, 5) * 800)
+            n = int(round(sr * dur / 1000.0))
+            rows.append(
+                (
+                    f"clip-{i:012d}",
+                    bytearray(encode_wav_pcm16(expected_pcm(i, sr, n), sr)),
+                    expected_transcript(i),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "clip_id string, expected_bytes binary, expected_transcript string"
+        ).cache()
+
+    def test_matches_generator_path_rule_for_rule(self, spark, expected_table):
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import (
+            audio_ruleset,
+            clips_table,
+            with_audio_features,
+            with_audio_features_vs,
+        )
+
+        clips = clips_table(spark, 200)
+        gen = {
+            r["name"]: (r["tests"], r["pass"], r["fail"])
+            for r in dv.check_data(with_audio_features(clips), audio_ruleset()).collect()
+        }
+        vs = {
+            r["name"]: (r["tests"], r["pass"], r["fail"])
+            for r in dv.check_data(
+                with_audio_features_vs(clips, expected_table, broadcast_expected=True),
+                audio_ruleset(),
+            ).collect()
+        }
+        assert gen == vs
+        assert vs["decodes"][2] > 0  # the fixture injects real violations
+
+    def test_clip_missing_from_reference_fails_expectation_rules(self, spark, expected_table):
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features_vs
+
+        clips = clips_table(spark, 200)
+        truncated = expected_table.filter("clip_id <> 'clip-000000000003'")
+        feats = with_audio_features_vs(clips, truncated)
+        row3 = feats.filter("clip_id = 'clip-000000000003'").collect()[0]
+        assert row3["audio_valid"] is True  # the clip itself decodes
+        assert row3["audio_snr_db"] is None  # no reference → not comparable
+        assert row3["audio_transcript_ok"] is None
+        by = {
+            r["name"]: r["fail"]
+            for r in dv.check_data(feats, audio_ruleset()).collect()
+        }
+        # one more failure than the fixture cadence on both expectation rules
+        full = {
+            r["name"]: r["fail"]
+            for r in dv.check_data(
+                with_audio_features_vs(clips, expected_table), audio_ruleset()
+            ).collect()
+        }
+        assert by["pcm_allclose_snr"] == full["pcm_allclose_snr"] + 1
+        assert by["transcript_equal"] == full["transcript_equal"] + 1

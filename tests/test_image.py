@@ -203,3 +203,44 @@ class TestMalformedContainers:
         for mid in ("nonnum", "negdim", "junk", "empty", "null"):
             assert got[mid]["img_valid"] is False, mid
             assert got[mid]["img_error"], mid
+
+
+class TestVideoProbe:
+    def test_fixture_cadence_through_rules(self, spark):
+        """videos_table + video_probe + fused rules must reproduce the
+        injection cadence exactly (the same contract the video_validate gate
+        certifies against DuckDB)."""
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.operators.image import (
+            VID_CORRUPT_EVERY,
+            VID_DARK_EVERY,
+            VID_SHORT_EVERY,
+            video_probe,
+            videos_table,
+        )
+
+        n = 200
+        vids = videos_table(spark, n)
+        rules = dv.ruleset(
+            dv.rule("vid_valid", name="decodes"),
+            dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+            dv.rule("vid_mean_luma > 1", name="not_black", allow_na=True),
+        )
+        by = {r["name"]: r for r in dv.check_data(video_probe(vids), rules).collect()}
+        corrupt = {i for i in range(1, n) if i % VID_CORRUPT_EVERY == 0}
+        short = {i for i in range(1, n) if i % VID_SHORT_EVERY == 0}
+        dark = {i for i in range(1, n) if i % VID_DARK_EVERY == 0}
+        assert by["decodes"]["fail"] == len(corrupt)
+        assert by["enough_frames"]["fail"] == len(short - corrupt)
+        assert by["not_black"]["fail"] == len(dark - corrupt)
+        assert all(by[k]["error"] == "" for k in by)
+
+    def test_probe_counts_frames_without_reading_them(self, spark):
+        """vid_n_frames is header arithmetic; sampled luma uses every_n=2."""
+        from dataverifyr_spark.operators.image import video_probe, videos_table
+
+        rows = {r["media_id"]: r for r in video_probe(videos_table(spark, 30)).collect()}
+        assert rows["vid-00000001"]["vid_n_frames"] == 6  # 5 + 1%4
+        assert rows["vid-00000001"]["vid_valid"] is True
+        assert rows["vid-00000013"]["vid_valid"] is False
+        assert rows["vid-00000013"]["vid_error"]

@@ -52,6 +52,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    only = os.environ.get("COMPARE_ONLY")  # comma-separated gate names
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        qs = {k: v for k, v in qs.items() if k in names}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
