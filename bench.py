@@ -55,6 +55,7 @@ def make_spark(cores: int) -> SparkSession:
 
 
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "16"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 
 def _scale_up(df, mult: int, parts: int):
@@ -71,7 +72,9 @@ def _scale_up(df, mult: int, parts: int):
     return out.repartition(parts).cache()
 
 
-def bench_queries(spark: SparkSession, sf_dir: str, cores: int) -> tuple[dict[str, float], int]:
+def bench_queries(
+    spark: SparkSession, sf_dir: str, cores: int
+) -> tuple[dict[str, float], dict[str, float], int]:
     parts = cores * 2
     li = _scale_up(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), MULT, parts)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -82,16 +85,15 @@ def bench_queries(spark: SparkSession, sf_dir: str, cores: int) -> tuple[dict[st
     n_rows = li.count()  # materialize caches / warm JVM
     ords.count(), docs.count(), emb.count()
 
-    timings: dict[str, float] = {}
+    # deferred registration: queries are collected first, then timed in
+    # INTERLEAVED rounds (q1 q2 ... qN, q1 q2 ... qN, ...) taking the best
+    # per query — a host-steal burst on this Firecracker VM then hits one
+    # round of many queries instead of every sample of one query, so the
+    # single driver invocation is noise-robust (same scheme --scaling uses)
+    queries: list[tuple[str, object]] = []
 
     def run(name, fn):
-        fn()  # untimed warmup: JIT + codegen compile, cache touch
-        best = float("inf")
-        for _ in range(2):  # best-of-2: shields against box-level noise
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        queries.append((name, fn))
 
     run("check_fused_5rules", lambda: dv.check_data(li, LINEITEM_RULES).collect())
     run(
@@ -168,8 +170,25 @@ def bench_queries(spark: SparkSession, sf_dir: str, cores: int) -> tuple[dict[st
         "audio_validate_clips",
         lambda: dv.check_data(with_audio_features(clips), audio_ruleset()).collect(),
     )
+
+    # warmup sweep (JIT + codegen compile + cache touch), then ROUNDS
+    # interleaved timed sweeps; per-query best + spread
+    for _, fn in queries:
+        fn()
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name, _ in queries}
+    for _ in range(ROUNDS):
+        for name, fn in queries:
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+    for name, ts in samples.items():
+        timings[name] = round(min(ts), 4)
+        spreads[name] = round(max(ts) / min(ts), 2)
+
     clips.unpersist()
-    return timings, n_rows
+    return timings, spreads, n_rows
 
 
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
@@ -287,7 +306,7 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    timings, n_rows = bench_queries(spark, SF_DIR, CPUS)
+    timings, spreads, n_rows = bench_queries(spark, SF_DIR, CPUS)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -297,6 +316,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread_max_over_min": spreads,
+                "bench_rounds": ROUNDS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "lineitem_rows": n_rows,
                 "bench_mult": MULT,

@@ -114,6 +114,16 @@ def describe(
     wide-table scale path (K columns: 1 scan instead of K).  Tie-break is by
     the value's string form there (the per-column default breaks ties on the
     typed value); counts and formatting are otherwise identical.
+
+    COST WARNING — exact mode (``approx=False``, the default) packs K
+    ``count_distinct`` + K exact ``percentile`` aggregates into one job:
+    Spark plans multiple distinct aggregates through an Expand node that
+    REPLICATES every scanned row once per distinct aggregate (scan rows × K),
+    and exact percentile buffers each column's values.  That is the
+    small-scale reference-parity path only — for profiles beyond ~10⁷ rows
+    use ``approx=True`` (HyperLogLog ``approx_count_distinct`` +
+    ``percentile_approx``), which plans a single no-Expand aggregate and is
+    the 100 TB path.
     """
     spark = df.sparkSession
     fields = list(df.schema.fields)

@@ -153,3 +153,45 @@ class TestReferenceDescribeGoldens:
         }
         assert sorted(d2["num"].split(", ")) == ["1.23 (2)", "9.88 (2)"]
         assert d2["chr"] == "a (2)"
+
+
+class TestApproxPlanShape:
+    def test_approx_profile_plans_no_expand(self, spark):
+        """approx=True is the at-scale path: HLL distinct + percentile_approx
+        fuse into ONE aggregate with no Expand node (exact mode replicates
+        every scanned row once per distinct aggregate — documented as the
+        small-scale parity path only)."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.describe import describe
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 7).alias("a"),
+            (F.col("id") % 13).cast("double").alias("b"),
+            (F.col("id") % 3).cast("string").alias("c"),
+        )
+
+        def physical(plan_df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                plan_df.explain(True)
+            return buf.getvalue().split("== Physical Plan ==")[-1]
+
+        # rebuild the approx aggregate exactly as describe() runs it
+        aggs = [
+            F.approx_count_distinct("a"),
+            F.approx_count_distinct("b"),
+            F.approx_count_distinct("c"),
+            F.percentile_approx("a", 0.5, 100),
+            F.percentile_approx("b", 0.5, 100),
+        ]
+        assert "Expand" not in physical(df.agg(*aggs))
+        exact = [F.count_distinct("a"), F.count_distinct("b"), F.count_distinct("c")]
+        assert "Expand" in physical(df.agg(*exact))  # the cost approx avoids
+
+        # and the public surface agrees end-to-end
+        out = describe(df, approx=True)
+        assert out.count() == 3
