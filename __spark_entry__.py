@@ -340,6 +340,26 @@ def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_audio_validate_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vs-REFERENCE-TABLE audio path: expectations come from a joined
+    originals table (expected_bytes/expected_transcript columns) instead of
+    the generator — the real-corpus shape.  Same rules, same cadence oracle
+    as audio_validate_clips: the join + dual-decode SNR must reproduce the
+    exact counts the generator path hits."""
+    from dataverifyr_spark.audio import (
+        audio_ruleset,
+        clips_table,
+        expected_table,
+        with_audio_features_vs,
+    )
+
+    clips = clips_table(spark, 2000)
+    expected = expected_table(spark, 2000)
+    return dv.check_data(
+        with_audio_features_vs(clips, expected), audio_ruleset()
+    ).select(*_SUMMARY_COLS)
+
+
 def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-payload validation: real PPM decode in one Arrow pass (truncated
     containers and codec-needing formats become invalid rows), rules fused
@@ -430,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
+        "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_validate": q_image_validate,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
@@ -904,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
+        "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "check_by_event_type": check_by_event,
         "violations_customer": violations,

@@ -1,7 +1,13 @@
 """Audio payload support: WAV/PCM16 codec (pure numpy), deterministic clip
 fixtures, and Arrow-batched pandas-UDF rules over binary audio columns."""
 
-from .fixtures import allowed_codecs, clips_table, expected_pcm, expected_transcript
+from .fixtures import (
+    allowed_codecs,
+    clips_table,
+    expected_pcm,
+    expected_table,
+    expected_transcript,
+)
 from .rules import (
     audio_ruleset,
     register_audio_functions,
@@ -15,6 +21,7 @@ __all__ = [
     "decode_wav",
     "snr_db",
     "clips_table",
+    "expected_table",
     "allowed_codecs",
     "expected_pcm",
     "expected_transcript",

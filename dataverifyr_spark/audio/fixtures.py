@@ -19,7 +19,15 @@ from pyspark.sql import types as T
 from ..operators.similarity import hash_u64
 from .wav import encode_wav_pcm16
 
-__all__ = ["clips_table", "expected_pcm", "expected_transcript", "clip_index", "CLIP_SCHEMA"]
+__all__ = [
+    "clips_table",
+    "expected_table",
+    "expected_pcm",
+    "expected_transcript",
+    "clip_index",
+    "CLIP_SCHEMA",
+    "EXPECTED_SCHEMA",
+]
 
 SAMPLE_RATES = (8000, 16000, 44100, 48000)
 _VOCAB = (
@@ -115,6 +123,37 @@ def clips_table(
     num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_row)
     return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
+EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("expected_bytes", T.BinaryType(), True),
+        T.StructField("expected_transcript", T.StringType(), True),
+    ]
+)
+
+
+def _make_expected_row(i: int) -> tuple:
+    """The REFERENCE row for clip i: the canonical waveform encoded clean
+    (no violation injection) + the canonical transcript — what a real corpus
+    would persist as its originals table."""
+    sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+    true_dur_ms = 200 + int(_rng(i, 5) * 800)
+    n_samples = int(round(sr * true_dur_ms / 1000.0))
+    blob = encode_wav_pcm16(expected_pcm(i, sr, n_samples), sr)
+    return (f"clip-{i:012d}", bytearray(blob), expected_transcript(i))
+
+
+def expected_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """Distributed reference table matching :func:`clips_table` — feeds
+    ``with_audio_features_vs`` so expectation checks need no generator at
+    validation time."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_expected_row)
+    return spark.createDataFrame(rdd, EXPECTED_SCHEMA)
 
 
 def allowed_codecs(spark: SparkSession) -> DataFrame:

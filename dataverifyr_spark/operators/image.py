@@ -7,12 +7,15 @@ the WAV-PCM16 audio path (``dataverifyr_spark.audio.wav``):
 * **PPM (P6)** — Netpbm binary RGB (spec: netpbm.sourceforge.net/doc/ppm.html).
 * **BMP** — uncompressed 24-bit BITMAPINFOHEADER Windows bitmaps
   (bottom-up rows, 4-byte row padding).
+* **PNG** — 8-bit gray/RGB/RGBA, non-interlaced (RFC 2083): chunk parsing +
+  STDLIB zlib inflate + numpy per-row unfiltering (Sub is a per-lane cumsum
+  mod 256; Average/Paeth loop over pixels, vectorized across channels).
 * **Y4M** — YUV4MPEG2 uncompressed video (plain-text stream header +
   ``FRAME\\n``-prefixed raw planar frames); frame SAMPLING seeks by offset
   arithmetic without touching unsampled frames' bytes.
 
-Compressed formats (PNG/JPEG/H.264) still require codec libraries and stay
-behind the honest stub in ``operators.multimodal``; everything here is a
+Codec-needing formats (JPEG/H.264) still require libraries absent here and
+stay behind the honest stub in ``operators.multimodal``; everything here is a
 complete, round-trippable implementation with pinned-byte tests.
 
 All per-row work runs inside Arrow batches (``mapInPandas`` /
@@ -34,6 +37,8 @@ __all__ = [
     "encode_ppm",
     "decode_ppm",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "decode_image",
     "resize_nearest",
     "encode_y4m",
@@ -142,18 +147,25 @@ def decode_bmp(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Decode any fully-supported still format (PPM, BMP) by magic bytes.
+    """Decode any fully-supported still format (PPM, BMP, PNG) by magic
+    bytes, normalized to (h, w, 3) uint8 RGB (gray replicated, alpha
+    dropped).
 
-    Raises ImageError for compressed formats — they need a codec library
-    (see operators.multimodal.decode_image_stub for the documented stub)."""
+    Raises ImageError for codec-needing formats (JPEG/H.264 — see
+    operators.multimodal.decode_image_stub for the documented stub)."""
     if blob is None or len(blob) < 2:
         raise ImageError("empty image blob")
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:4] == b"\x89PNG":
+        arr = decode_png(blob)
+        if arr.shape[2] == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr[..., :3].copy() if arr.shape[2] == 4 else arr
     raise ImageError(
-        "unsupported container (PPM/BMP decode natively; PNG/JPEG need a codec library)"
+        "unsupported container (PPM/BMP/PNG decode natively; JPEG needs a codec library)"
     )
 
 
@@ -439,3 +451,166 @@ def video_probe(
 
     src = df.select(df[id_col].cast("string").alias(id_col), df[bytes_col].alias(bytes_col))
     return src.mapInPandas(probe, VIDEO_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: chunks + zlib (STDLIB — no codec library needed) + per-row filters.
+# Spec: RFC 2083 / W3C PNG.  Supported: bit depth 8, color types 0 (gray),
+# 2 (RGB), 6 (RGBA), interlace 0 — the dominant shapes in training corpora.
+# Decoding is numpy per row: None/Sub/Up unfilter fully vectorized (Sub is a
+# per-lane cumsum mod 256); Average/Paeth need the left-neighbor recursion so
+# those rows loop over PIXELS (vectorized across channels) — still no
+# per-byte Python.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunks(blob: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ImageError("truncated PNG chunk")
+        yield typ, data
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IEND":
+            return
+    raise ImageError("PNG missing IEND")
+
+
+def _unfilter_row(f: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    if f == 0:
+        return raw.copy()
+    if f == 1:  # Sub: per-lane cumulative sum mod 256
+        return (raw.reshape(-1, bpp).astype(np.uint32).cumsum(axis=0) % 256).astype(
+            np.uint8
+        ).reshape(-1)
+    if f == 2:  # Up
+        return (raw.astype(np.uint16) + prev).astype(np.uint8)
+    w = raw.size // bpp
+    rec = np.zeros(raw.size, dtype=np.uint8)
+    if f == 3:  # Average
+        for x in range(w):
+            s = slice(x * bpp, (x + 1) * bpp)
+            left = rec[(x - 1) * bpp : x * bpp].astype(np.uint16) if x else 0
+            up = prev[s].astype(np.uint16)
+            rec[s] = (raw[s].astype(np.uint16) + ((left + up) >> 1)) & 0xFF
+        return rec
+    if f == 4:  # Paeth
+        for x in range(w):
+            s = slice(x * bpp, (x + 1) * bpp)
+            a = rec[(x - 1) * bpp : x * bpp].astype(np.int16) if x else np.zeros(bpp, np.int16)
+            b = prev[s].astype(np.int16)
+            c = (
+                prev[(x - 1) * bpp : x * bpp].astype(np.int16)
+                if x
+                else np.zeros(bpp, np.int16)
+            )
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            rec[s] = (raw[s].astype(np.int16) + pred) & 0xFF
+        return rec
+    raise ImageError(f"unknown PNG filter type {f}")
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8 (channels 1/3/4 by color type)."""
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ImageError("not a PNG")
+    ihdr = None
+    idat = []
+    for typ, data in _png_chunks(blob):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ImageError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if w <= 0 or h <= 0:
+        raise ImageError(f"invalid PNG dimensions {w}x{h}")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ImageError(f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, color={ctype})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ImageError("unsupported PNG compression/filter/interlace method")
+    if not idat:
+        raise ImageError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ImageError(f"PNG zlib stream corrupt: {exc}") from None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ImageError("PNG pixel data truncated")
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (1 + stride)
+        prev = _unfilter_row(int(buf[off]), buf[off + 1 : off + 1 + stride], prev, ch)
+        rows.append(prev)
+    return np.stack(rows).reshape(h, w, ch)
+
+
+def _filter_row(f: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply (not remove) a PNG filter — the encoder side, also used by tests
+    to exercise every unfilter branch."""
+    c16 = cur.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), c16[:-bpp]])
+    up = prev.astype(np.int16)
+    upleft = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+    if f == 0:
+        return cur.copy()
+    if f == 1:
+        return ((c16 - left) & 0xFF).astype(np.uint8)
+    if f == 2:
+        return ((c16 - up) & 0xFF).astype(np.uint8)
+    if f == 3:
+        return ((c16 - ((left + up) >> 1)) & 0xFF).astype(np.uint8)
+    if f == 4:
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        return ((c16 - pred) & 0xFF).astype(np.uint8)
+    raise ImageError(f"unknown PNG filter type {f}")
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (stdlib zlib; one filter for all rows)."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ImageError("encode_png expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = w * 3
+    flat = arr.reshape(h, stride)
+    parts = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        parts.append(bytes([filter_type]))
+        parts.append(_filter_row(filter_type, flat[y], prev, 3).tobytes())
+        prev = flat[y]
+    idat = zlib.compress(b"".join(parts))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")

@@ -1,12 +1,12 @@
 """Multimodal binary-column plumbing: images / audio / video as opaque
 ``binary`` columns with typed metadata, processed through ``mapInPandas``.
 
-Fully-real decoders (pure numpy, no codec libraries):
+Fully-real decoders (pure numpy + stdlib zlib, no codec libraries):
 * audio WAV-PCM16 — ``dataverifyr_spark.audio.wav``
-* still images PPM/BMP + video Y4M frame sampling — ``operators.image``
+* still images PPM/BMP/PNG + video Y4M frame sampling — ``operators.image``
 
-Only COMPRESSED formats (PNG/JPEG/H.264) remain stubbed below
-(``decode_image_stub``): their codecs are not present in this environment.
+Only formats whose codecs are absent from this environment (JPEG, H.264)
+remain stubbed below (``decode_image_stub``).
 Swapping the stub for a real codec changes only the inner function, not the
 plan shape — the Arrow batch iteration, schema contracts, and
 partition-preserving transforms here are real and tested either way.

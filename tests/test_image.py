@@ -85,6 +85,8 @@ class TestBMP:
         assert np.array_equal(decode_image(self._encode_bmp(img)), img)
         assert np.array_equal(decode_image(encode_ppm(img)), img)
         with pytest.raises(ImageError, match="codec"):
+            decode_image(b"\xff\xd8\xff\xe0JPEGJPEG")  # JPEG still codec-needing
+        with pytest.raises(ImageError):  # PNG decodes natively now; garbage → ImageError
             decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
@@ -244,3 +246,93 @@ class TestVideoProbe:
         assert rows["vid-00000001"]["vid_valid"] is True
         assert rows["vid-00000013"]["vid_valid"] is False
         assert rows["vid-00000013"]["vid_error"]
+
+
+class TestPNG:
+    """Real PNG decode (stdlib zlib + numpy unfiltering) — no codec library.
+    Spec: RFC 2083; every filter type exercised both directions."""
+
+    def test_round_trip_filter0(self):
+        from dataverifyr_spark.operators.image import decode_png, encode_png
+
+        img = _checker(5, 7)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_every_filter_round_trips(self, ftype):
+        from dataverifyr_spark.operators.image import decode_png, encode_png
+
+        rng = np.random.RandomState(ftype + 1)
+        img = rng.randint(0, 256, size=(9, 6, 3), dtype=np.uint8)
+        blob = encode_png(img, filter_type=ftype)
+        assert np.array_equal(decode_png(blob), img), f"filter {ftype}"
+
+    def test_paeth_spec_vector(self):
+        """Hand-checked Paeth recon: raw=5, left=10, up=20, upleft=12 →
+        p=18, pa=8, pb=2, pc=6 → predictor=up(20) → recon=25."""
+        from dataverifyr_spark.operators.image import _unfilter_row
+
+        prev = np.array([12, 12, 12, 20, 20, 20], dtype=np.uint8)
+        raw = np.array([10, 10, 10, 5, 5, 5], dtype=np.uint8)
+        # first pixel: a=0,c=0 → p=b=12, pa=12,pb=0 → pred=up=12 → 22
+        rec = _unfilter_row(4, raw, prev, 3)
+        assert list(rec[:3]) == [22, 22, 22]
+        # second pixel: a=22, b=20, c=12 → p=30, pa=8, pb=10, pc=18 → pred=a → 27
+        assert list(rec[3:]) == [27, 27, 27]
+
+    def test_gray_and_rgba_normalize_in_decode_image(self):
+        import zlib
+
+        from dataverifyr_spark.operators.image import _PNG_SIG, decode_image
+
+        def chunk(typ, data):
+            return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+        # 2x2 grayscale (color type 0)
+        gray = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + r.tobytes() for r in gray)
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+        blob = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        out = decode_image(blob)
+        assert out.shape == (2, 2, 3) and np.array_equal(out[..., 0], gray)
+        assert np.array_equal(out[..., 0], out[..., 2])
+
+        # 1x2 RGBA (color type 6): alpha dropped
+        rgba = np.array([[[9, 8, 7, 255], [1, 2, 3, 0]]], dtype=np.uint8)
+        raw = b"\x00" + rgba.tobytes()
+        ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+        blob = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        out = decode_image(blob)
+        assert out.shape == (1, 2, 3)
+        assert list(out[0, 0]) == [9, 8, 7] and list(out[0, 1]) == [1, 2, 3]
+
+    def test_malformed_png_rejected(self):
+        from dataverifyr_spark.operators.image import decode_png, encode_png
+
+        img = _checker(4, 4)
+        blob = encode_png(img)
+        with pytest.raises(ImageError, match="zlib|truncated|IEND|IDAT"):
+            decode_png(blob[:40])  # cut inside IDAT
+        with pytest.raises(ImageError, match="not a PNG"):
+            decode_png(b"\x89PNX" + blob[4:])
+        corrupted = bytearray(blob)
+        corrupted[40] ^= 0xFF  # flip a byte inside the zlib stream
+        with pytest.raises(ImageError):
+            decode_png(bytes(corrupted))
+        with pytest.raises(ImageError, match="interlace|method"):
+            # set interlace=1 in IHDR (byte 8+8+4+12 = offset of IHDR data +12)
+            bad = bytearray(blob)
+            bad[8 + 8 + 12] = 1
+            decode_png(bytes(bad))
+
+    def test_png_flows_through_image_probe(self, spark):
+        from dataverifyr_spark.operators.image import encode_png, image_probe
+
+        img = _checker(6, 10)
+        df = spark.createDataFrame(
+            [("p", bytearray(encode_png(img, filter_type=4)))], "media_id string, bytes binary"
+        )
+        row = image_probe(df).collect()[0]
+        assert row["img_valid"] is True
+        assert (row["img_width"], row["img_height"]) == (10, 6)
+        assert row["img_brightness"] == pytest.approx(float(img.astype(np.float64).mean()))
