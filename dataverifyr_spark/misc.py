@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["detect_backend", "plot_res", "plot_res_table", "pretty_val", "round_down"]
+__all__ = ["detect_backend", "plot_res", "plot_res_table", "pretty_val", "round_down", "simple_table"]
 
 
 def detect_backend(x) -> str:
@@ -122,3 +122,52 @@ def plot_res(res: DataFrame, ax=None, labels: bool = True, table: bool = True):
         )
     ax.legend(loc="lower right")
     return ax
+
+
+def simple_table(d, align: str | None = None) -> str:
+    """HTML table with markdown-friendly cells — byte-format port of the
+    reference's simple_table (/root/reference/R/misc.R:17-50): same
+    indentation, odd/even row classes, and blank-line padding around cells
+    containing markdown (backtick or ``[``).
+
+    ``d``: a Spark DataFrame (collected — this is a small presentation
+    table), a pandas DataFrame, or a list of dicts.  ``align``: one of
+    ``l/r/c`` per column (default all ``l``).  Returns the HTML string (the
+    reference cat()s it and returns the data invisibly; returning the string
+    is the Python-idiomatic equivalent).
+    """
+    if isinstance(d, DataFrame):
+        cols = d.columns
+        rows = [[r[c] for c in cols] for r in d.collect()]
+    elif hasattr(d, "columns") and hasattr(d, "itertuples"):  # pandas
+        cols = list(d.columns)
+        rows = [list(t) for t in d.itertuples(index=False, name=None)]
+    else:
+        rows = [list(r.values()) for r in d]
+        cols = list(d[0].keys()) if d else []
+    if align is None:
+        align = "l" * len(cols)
+    names = {"l": "left", "r": "right", "c": "center"}
+    try:
+        a = [names[ch] for ch in align]
+    except KeyError as exc:
+        raise ValueError(f"align characters must be l/r/c, got {exc}") from None
+    if len(a) != len(cols):
+        raise ValueError(f"align has {len(a)} entries for {len(cols)} columns")
+
+    def has_md(v) -> bool:
+        s = "" if v is None else str(v)
+        return "`" in s or "[" in s
+
+    lines = ["<table>", '  <thead class="header">']
+    lines += [f'    <th style="text-align:{al};">{c}</th>' for al, c in zip(a, cols)]
+    lines += ["  </thead>", "  <tbody>"]
+    for i, row in enumerate(rows, start=1):
+        lines.append(f'<tr class="{"even" if i % 2 == 0 else "odd"}">')
+        for al, v in zip(a, row):
+            pad = "\n\n" if has_md(v) else ""
+            sv = "" if v is None else str(v)
+            lines.append(f'      <td style="text-align:{al};">{pad}{sv}{pad}</td>')
+        lines.append("</tr>")
+    lines += ["  </tbody>", "</table>"]
+    return "\n".join(lines)

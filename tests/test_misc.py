@@ -61,3 +61,57 @@ class TestPlotRes:
         res = check_data(spark.range(3), rule("id >= 0"))
         with pytest.raises(ImportError, match="matplotlib"):
             plot_res(res)
+
+
+class TestSimpleTable:
+    """Byte-format port of the reference's simple_table
+    (/root/reference/R/misc.R:17-50): indentation, odd/even classes, and
+    markdown blank-line padding traced from the R sprintf calls."""
+
+    def test_golden_matches_r_format(self):
+        from dataverifyr_spark.misc import simple_table
+
+        d = [
+            {"library": "[`arrow`](https://arrow.apache.org/docs/r/)", "n": "3"},
+            {"library": "plain text", "n": "4"},
+        ]
+        out = simple_table(d, align="cl")
+        expected = "\n".join(
+            [
+                "<table>",
+                '  <thead class="header">',
+                '    <th style="text-align:center;">library</th>',
+                '    <th style="text-align:left;">n</th>',
+                "  </thead>",
+                "  <tbody>",
+                '<tr class="odd">',
+                '      <td style="text-align:center;">\n\n'
+                "[`arrow`](https://arrow.apache.org/docs/r/)\n\n</td>",
+                '      <td style="text-align:left;">3</td>',
+                "</tr>",
+                '<tr class="even">',
+                '      <td style="text-align:center;">plain text</td>',
+                '      <td style="text-align:left;">4</td>',
+                "</tr>",
+                "  </tbody>",
+                "</table>",
+            ]
+        )
+        assert out == expected
+
+    def test_spark_dataframe_input_and_default_align(self, spark):
+        from dataverifyr_spark.misc import simple_table
+
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "x string, y int")
+        out = simple_table(df)
+        assert '<th style="text-align:left;">x</th>' in out
+        assert '<td style="text-align:left;">1</td>' in out
+        assert out.count("<tr") == 2
+
+    def test_align_validation(self):
+        from dataverifyr_spark.misc import simple_table
+
+        with pytest.raises(ValueError, match="l/r/c"):
+            simple_table([{"x": "1"}], align="q")
+        with pytest.raises(ValueError, match="entries"):
+            simple_table([{"x": "1"}], align="ll")
