@@ -66,13 +66,21 @@ def _aligned(current: DataFrame, baseline: DataFrame, by: str | None) -> DataFra
     KS, and wrong PSI in the fused path) whenever a key lacks a bucket —
     common for sparse categories.  The expansion is keys × bins rows (tiny;
     baseline side broadcast)."""
-    base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
     cur = current.select(*([by] if by else []), "bucket", F.col("frac").alias("cur_frac"))
     if by is None:
+        base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
         return cur.join(base, "bucket", "full_outer").fillna(
             {"cur_frac": 0.0, "base_frac": 0.0}
         )
-    expanded = cur.select(by).distinct().crossJoin(F.broadcast(base))
+    if by in baseline.columns:
+        # KEYED baseline (one snapshot per key, histogram(..., by=by)): the
+        # full outer on [by, bucket] already gives every key the union of its
+        # own buckets — no expansion needed
+        expanded = baseline.select(F.col(by), F.col("bucket"), F.col("frac").alias("base_frac"))
+    else:
+        # keyless baseline: expand across cur's distinct keys
+        base = baseline.select(F.col("bucket"), F.col("frac").alias("base_frac"))
+        expanded = cur.select(by).distinct().crossJoin(F.broadcast(base))
     c, e = cur.alias("c"), expanded.alias("e")
     j = c.join(
         e,

@@ -254,3 +254,40 @@ class TestSkew:
 
         exact = df.distinct().count()
         assert distinct_count_salted(df, "k") == exact
+
+
+class TestKeyedBaseline:
+    def test_per_key_baseline_snapshot(self, spark):
+        """A KEYED baseline (histogram(..., by=key)) compares each key to its
+        OWN snapshot — keys with different reference distributions don't
+        cross-contaminate, and missing buckets still count per key."""
+        from dataverifyr_spark.operators.drift import drift_check, histogram, ks
+
+        # baseline: key 0 uniform over [0,100); key 1 lower-half only
+        base_df = spark.range(0, 20000).select(
+            (F.col("id") % 2).alias("pk"),
+            F.when(F.col("id") % 2 == 0, F.col("id") % 100)
+            .otherwise(F.col("id") % 50)
+            .cast("double")
+            .alias("v"),
+        )
+        b = histogram(base_df, "v", 0.0, 100.0, bins=10, by="pk")
+        # current identical to baseline → zero drift for BOTH keys
+        rows = {r["pk"]: r for r in drift_check(base_df, "v", b, 0.0, 100.0, bins=10, by="pk").collect()}
+        assert rows[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert rows[1]["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert rows[1]["ks"] == pytest.approx(0.0, abs=1e-9)
+
+        # current: key 1 moves to the upper half → its KS is 1.0 (disjoint
+        # CDFs), key 0 stays uniform → 0
+        cur_df = spark.range(0, 20000).select(
+            (F.col("id") % 2).alias("pk"),
+            F.when(F.col("id") % 2 == 0, F.col("id") % 100)
+            .otherwise(F.col("id") % 50 + 50)
+            .cast("double")
+            .alias("v"),
+        )
+        cur = histogram(cur_df, "v", 0.0, 100.0, bins=10, by="pk")
+        krows = {r["pk"]: r for r in ks(cur, b, by="pk").collect()}
+        assert krows[0]["ks"] == pytest.approx(0.0, abs=1e-9)
+        assert krows[1]["ks"] == pytest.approx(1.0, abs=1e-9)
