@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["detect_backend", "plot_res", "plot_res_table", "pretty_val", "round_down", "simple_table"]
+__all__ = ["detect_backend", "plot_res", "plot_res_table", "pretty_val", "round_down", "simple_table", "has_pkg"]
 
 
 def detect_backend(x) -> str:
@@ -171,3 +171,18 @@ def simple_table(d, align: str | None = None) -> str:
         lines.append("</tr>")
     lines += ["  </tbody>", "</table>"]
     return "\n".join(lines)
+
+
+def has_pkg(p: str) -> bool:
+    """True if the named Python package is importable without importing it —
+    the reference's has_pkg (R/check_data.R:244, requireNamespace(quietly))
+    ported to Python packaging (importlib.util.find_spec).  The reference
+    uses it to pick an evaluation backend per input type; here detect_backend
+    covers that, and has_pkg gates optional extras (e.g. matplotlib for
+    plot_res)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec(p) is not None
+    except (ImportError, ValueError):
+        return False

@@ -115,3 +115,13 @@ class TestSimpleTable:
             simple_table([{"x": "1"}], align="q")
         with pytest.raises(ValueError, match="entries"):
             simple_table([{"x": "1"}], align="ll")
+
+
+class TestHasPkg:
+    def test_present_missing_and_invalid(self):
+        from dataverifyr_spark.misc import has_pkg
+
+        assert has_pkg("pyspark") is True
+        assert has_pkg("numpy") is True
+        assert has_pkg("definitely_not_a_package_xyz") is False
+        assert has_pkg("not..a..module") is False  # ValueError path
