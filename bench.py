@@ -171,6 +171,22 @@ def bench_queries(
         lambda: dv.check_data(with_audio_features(clips), audio_ruleset()).collect(),
     )
 
+    # video payload: Y4M header math + offset-seek frame sampling through the
+    # same fused rule machinery (round 3)
+    from dataverifyr_spark.operators.image import video_probe, videos_table
+
+    vids = videos_table(spark, N_VIDEOS, num_partitions=parts).cache()
+    vids.count()
+    video_rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_mean_luma > 1", name="not_black", allow_na=True),
+    )
+    run(
+        "video_validate_y4m",
+        lambda: dv.check_data(video_probe(vids), video_rules).collect(),
+    )
+
     # warmup sweep (JIT + codegen compile + cache touch), then ROUNDS
     # interleaved timed sweeps; per-query best + spread
     for _, fn in queries:
@@ -188,10 +204,12 @@ def bench_queries(
         spreads[name] = round(max(ts) / min(ts), 2)
 
     clips.unpersist()
+    vids.unpersist()
     return timings, spreads, n_rows
 
 
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
+N_VIDEOS = int(os.environ.get("SPARK_GRAFT_BENCH_VIDEOS", "10000"))
 
 
 def _hw_control(procs: int, n: int = 6000) -> float:
@@ -328,6 +346,10 @@ def main() -> None:
                     N_CLIPS / timings["audio_validate_clips"], 1
                 ),
                 "n_clips": N_CLIPS,
+                "validated_videos_per_sec": round(
+                    N_VIDEOS / timings["video_validate_y4m"], 1
+                ),
+                "n_videos": N_VIDEOS,
             }
         )
     )

@@ -93,6 +93,17 @@ sections.append((
     cplan,
 ))
 
+# round 3: vs-reference audio — join + ONE dual-decode ArrowEvalPython; the
+# expected payload joins by clip_id (broadcast here; bucket both sides at scale)
+from dataverifyr_spark.audio import audio_ruleset, expected_table, with_audio_features_vs
+exp = expected_table(spark, 50)
+feats = with_audio_features_vs(clips, exp, broadcast_expected=True)
+vpreds = [compile_rule_predicate(r).column for r in audio_ruleset()]
+vplan = cap(feats.agg(*[F.sum(F.when(p,1).otherwise(0)).alias(f"p{i}") for i,p in enumerate(vpreds)]))
+assert vplan.count("ArrowEvalPython") == 2  # tree + detail of ONE node
+assert "BroadcastHashJoin" in vplan or "BroadcastNestedLoopJoin" not in vplan
+sections.append(("Vs-reference audio (broadcast clip_id join -> ONE dual-decode ArrowEvalPython -> fused agg)", vplan))
+
 with open("/root/repo/EXPLAIN.md","w") as f:
     f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
     f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
