@@ -108,10 +108,17 @@ def assign_clusters(
     @F.pandas_udf("int")
     def _nearest(vecs: pd.Series) -> pd.Series:
         cmat, cn2 = bc.value
-        x = np.vstack(vecs.to_numpy())
-        # ||x-c||² = ||x||² + ||c||² - 2x·c; ||x||² is constant per row
-        d = cn2[None, :] - 2.0 * (x @ cmat.T)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        vals = vecs.to_numpy()
+        # NULL/wrong-length vectors → -1, matching the expression path
+        # (NULL distance never beats the +inf accumulator)
+        ok = np.array([v is not None and len(v) == cmat.shape[1] for v in vals])
+        out = np.full(len(vals), -1, dtype=np.int32)
+        if ok.any():
+            x = np.vstack(vals[ok]).astype(np.float64)
+            # ||x-c||² = ||x||² + ||c||² - 2x·c; ||x||² is constant per row
+            d = cn2[None, :] - 2.0 * (x @ cmat.T)
+            out[ok] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return df.withColumn(out_col, _nearest(F.col(vec_col)))
 

@@ -161,10 +161,16 @@ def _lsh_codes(
     @F.pandas_udf("array<long>")
     def _codes(vecs: pd.Series) -> pd.Series:
         m = bc.value
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)
-        signs = (x @ m.T) >= 0.0  # (n, bands*bits)
-        w = np.left_shift(np.int64(1), np.arange(n_bits, dtype=np.int64))
-        packed = (signs.reshape(len(x), n_bands, n_bits) * w).sum(axis=2)
+        vals = vecs.to_numpy()
+        # NULL/wrong-length vectors get all-zero codes — the same bucket the
+        # expression path assigns them (NULL dot → NULL ≥ 0 is false per bit)
+        ok = np.array([v is not None and len(v) == m.shape[1] for v in vals])
+        packed = np.zeros((len(vals), n_bands), dtype=np.int64)
+        if ok.any():
+            x = np.vstack(vals[ok]).astype(np.float64)
+            signs = (x @ m.T) >= 0.0  # (n_ok, bands*bits)
+            w = np.left_shift(np.int64(1), np.arange(n_bits, dtype=np.int64))
+            packed[ok] = (signs.reshape(len(x), n_bands, n_bits) * w).sum(axis=2)
         return pd.Series([row.tolist() for row in packed])
 
     return _codes(F.col(vec_col))
@@ -312,6 +318,7 @@ def topk_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch top-k: every query row against the corpus in one job.
 
@@ -320,7 +327,9 @@ def topk_join(
     window over (query, sim), shuffling only corpus_rows×queries score rows.
     With ``bits`` set, both sides are hyperplane-bucketed and joined on the
     bucket instead — candidates shrink to same-bucket pairs (ANN, recall per
-    the LSH notes above).
+    the LSH notes above).  ``broadcast_queries=False`` (bucketed mode only)
+    shuffle-joins the two bucketed sides instead — the shape for query sets
+    too large to broadcast; the unbucketed cross join requires broadcast.
     """
     from pyspark.sql.window import Window
 
@@ -334,8 +343,15 @@ def topk_join(
         queries_b = hyperplane_lsh_buckets(
             q.withColumnRenamed("__qvec", vec_col), dim, bits, vec_col, seed
         ).withColumnRenamed(vec_col, "__qvec")
-        joined = corpus_b.join(F.broadcast(queries_b), "bucket")
+        joined = corpus_b.join(
+            F.broadcast(queries_b) if broadcast_queries else queries_b, "bucket"
+        )
     else:
+        if not broadcast_queries:
+            raise ValueError(
+                "broadcast_queries=False requires bucketed mode (set bits=...) — "
+                "an unbucketed big-queries join would be an all-pairs cartesian"
+            )
         joined = corpus.crossJoin(F.broadcast(q))
     sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))

@@ -605,3 +605,111 @@ class TestIncrementalDedupCap:
         assert lsh_pairs_against(n_sigs, c_sigs, max_bucket_size=10).count() == 0
         # cap above both sides' bucket sizes: nothing dropped
         assert lsh_pairs_against(n_sigs, c_sigs, max_bucket_size=100).count() == 250
+
+
+class TestLshNullSafety:
+    def test_null_embeddings_same_bucket_both_paths(self, spark):
+        """NULL (or wrong-length) vectors must not kill the UDF path — they
+        land in the all-zero code, matching the expression path (NULL dot →
+        bit unset per plane)."""
+        from dataverifyr_spark.operators import similarity as sim
+
+        df = spark.createDataFrame(
+            [(1, [0.5] * 8), (2, None), (3, [0.1] * 3)],
+            "vec_id int, embedding array<double>",
+        )
+
+        def codes():
+            return {
+                r["vec_id"]: list(r["c"])
+                for r in df.select(
+                    "vec_id", sim._lsh_codes("embedding", df, 8, 4, [42]).alias("c")
+                ).collect()
+            }
+
+        expr_c = codes()
+        old = sim._EXPR_LSH_MAX
+        sim._EXPR_LSH_MAX = 0
+        try:
+            udf_c = codes()
+        finally:
+            sim._EXPR_LSH_MAX = old
+        assert expr_c == udf_c
+        assert expr_c[2] == [0]
+
+    def test_null_embeddings_assign_minus_one_both_paths(self, spark):
+        from dataverifyr_spark.operators import ivf
+
+        df = spark.createDataFrame(
+            [(1, [0.5] * 4), (2, None)], "vec_id int, embedding array<double>"
+        )
+        cents = [[0.0] * 4, [1.0] * 4]
+
+        def assign():
+            return {
+                r["vec_id"]: r["cluster"]
+                for r in ivf.assign_clusters(df, cents).collect()
+            }
+
+        expr_a = assign()
+        old = ivf._EXPR_ASSIGN_MAX
+        ivf._EXPR_ASSIGN_MAX = 0
+        try:
+            udf_a = assign()
+        finally:
+            ivf._EXPR_ASSIGN_MAX = old
+        assert expr_a == udf_a
+        assert expr_a[2] == -1
+
+
+class TestTopkJoinShuffleMode:
+    def test_non_broadcast_bucketed_join_matches_broadcast(self, spark):
+        import math as m
+
+        from dataverifyr_spark.operators.similarity import topk_join
+
+        corpus = spark.createDataFrame(
+            [(i, [m.sin(i * 0.7 + d) for d in range(6)]) for i in range(40)],
+            "vec_id int, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(100 + i, [m.sin(i * 0.7 + d) for d in range(6)]) for i in range(4)],
+            "query_id int, embedding array<double>",
+        )
+        bc = {
+            (r["query_id"], r["vec_id"])
+            for r in topk_join(corpus, queries, k=3, dim=6, bits=4).collect()
+        }
+        sh = {
+            (r["query_id"], r["vec_id"])
+            for r in topk_join(
+                corpus, queries, k=3, dim=6, bits=4, broadcast_queries=False
+            ).collect()
+        }
+        assert bc == sh and len(bc) > 0
+        with pytest.raises(ValueError, match="bucketed"):
+            topk_join(corpus, queries, k=3, broadcast_queries=False)
+
+
+class TestLshPartitionPruning:
+    def test_bucket_partitioned_write_prunes_scan(self, spark, tmp_path):
+        """hyperplane_lsh_buckets → write partitioned by bucket → a bucket
+        filter becomes PartitionFilters (the lsh_topk pruning claim)."""
+        import contextlib
+        import io
+        import math as m
+
+        from dataverifyr_spark.operators.similarity import hyperplane_lsh_buckets
+
+        emb = spark.createDataFrame(
+            [(i, [m.sin(i * 0.9 + d) for d in range(8)]) for i in range(200)],
+            "vec_id int, embedding array<double>",
+        )
+        p = str(tmp_path / "lsh_buckets")
+        hyperplane_lsh_buckets(emb, dim=8, bits=4).write.partitionBy("bucket").parquet(p)
+        probe = spark.read.parquet(p).filter(F.col("bucket") == 3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:80], plan
