@@ -340,6 +340,23 @@ def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_audio_validate_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PARTITION audio validation — the north_rule flagship shape: one
+    groupBy(codec).agg computes every rule's conditional sum per partition
+    key in a single shuffle (check_data_by), over REAL decoded features.
+    Oracle recomputes per-codec-group counts from the injection cadences."""
+    from dataverifyr_spark.audio import clips_table, with_audio_features
+
+    clips = clips_table(spark, 2000)
+    feats = with_audio_features(clips)
+    rules = dv.ruleset(
+        dv.rule("audio_valid", name="decodes"),
+        dv.rule("audio_sr == sr_hz", name="sr_consistent"),
+        dv.rule("audio_snr_db >= 30.0", name="pcm_allclose_snr"),
+    )
+    return check_data_by(feats, rules, by="codec")
+
+
 def q_audio_validate_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vs-REFERENCE-TABLE audio path: expectations come from a joined
     originals table (expected_bytes/expected_transcript columns) instead of
@@ -450,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
+        "audio_validate_by_codec": q_audio_validate_by_codec,
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_validate": q_image_validate,
         "video_validate": q_video_validate,
@@ -875,6 +893,36 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    # per-codec-group audio summary: the codec column itself is cadence-
+    # injected (every 29th row lies 'mp3_unknown'), so group membership AND
+    # per-group rule counts are pure index arithmetic
+    audio_by_codec = """
+    WITH flags AS (
+      SELECT i,
+             (i > 0 AND i % 41 = 0) AS corrupt,
+             (i > 0 AND i % 17 = 0) AS bad_sr,
+             CASE WHEN i > 0 AND i % 29 = 0 THEN 'mp3_unknown' ELSE 'pcm_s16le' END AS codec
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    SELECT codec, 'decodes' AS name, 'audio_valid' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM flags GROUP BY codec
+    UNION ALL
+    SELECT codec, 'sr_consistent', 'audio_sr == sr_hz',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT corrupt AND NOT bad_sr THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt AND NOT bad_sr THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags GROUP BY codec
+    UNION ALL
+    SELECT codec, 'pcm_allclose_snr', 'audio_snr_db >= 30.0',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags GROUP BY codec
+    """
+
     check_by_event = """
     SELECT event_type, 'e1' AS name, 'value > 0' AS expr,
            CAST(COUNT(*) AS BIGINT) AS tests,
@@ -925,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
+        "audio_validate_by_codec": audio_by_codec,
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "check_by_event_type": check_by_event,
