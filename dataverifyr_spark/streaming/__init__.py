@@ -1,3 +1,3 @@
-from .validate import check_stream, validate_stream_to_ledger
+from .validate import check_stream, check_stream_cumulative, validate_stream_to_ledger
 
-__all__ = ["check_stream", "validate_stream_to_ledger"]
+__all__ = ["check_stream", "check_stream_cumulative", "validate_stream_to_ledger"]

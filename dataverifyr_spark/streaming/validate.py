@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..check import compile_rule_predicate
 from ..rules import ReferenceRule, Rule, Ruleset, ruleset
 
-__all__ = ["check_stream", "validate_stream_to_ledger"]
+__all__ = ["check_stream", "check_stream_cumulative", "validate_stream_to_ledger"]
 
 
 def _rule_aggs(rules: Ruleset) -> tuple[list[Column], list[Rule]]:
@@ -104,4 +104,67 @@ def validate_stream_to_ledger(
         sdf.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
+    )
+
+
+def check_stream_cumulative(
+    sdf: DataFrame,
+    rules: Ruleset | Rule,
+    by: str,
+) -> DataFrame:
+    """CUMULATIVE per-key rule counters across micro-batches — the custom
+    stateful operator shape (``applyInPandasWithState``): every update emits
+    each key's running (tests, pass, fail) per rule since the stream started,
+    e.g. "how many clips of codec X have failed decode so far this ingest".
+
+    Plan split for scale: the rule predicates evaluate JVM-side (Catalyst
+    Column → int flag columns) BEFORE the stateful exchange, so Python sees
+    only (key, flags) integers; the state per key is one row of n_rules + 1
+    counters — no raw payload enters state or Python.  Unbounded key spaces
+    should prefer the windowed :func:`check_stream` (watermark-bounded
+    state); this operator is for LOW-cardinality keys (codec, source,
+    partition day) that need lifetime-of-stream totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if isinstance(rules, Rule):
+        rules = ruleset(rules)
+    good = [r for r in rules if not isinstance(r, ReferenceRule)]
+    if len(good) != len(list(rules)):
+        raise ValueError("reference rules need a static lookup side; use foreachBatch")
+    preds = [compile_rule_predicate(r).column for r in good]
+    flags = sdf.select(
+        F.col(by),
+        *[F.when(p, F.lit(1)).otherwise(F.lit(0)).alias(f"__f{i}") for i, p in enumerate(preds)],
+    )
+
+    names = [r.name for r in good]
+    exprs = [r.expr for r in good]
+    n = len(good)
+    key_field = sdf.schema[by]
+    key_ddl = f"{by} {key_field.dataType.simpleString()}"
+    out_schema = f"{key_ddl}, name string, expr string, tests bigint, pass bigint, fail bigint"
+    state_schema = "tests bigint, " + ", ".join(f"p{i} bigint" for i in range(n))
+
+    def update(key, pdfs, state: GroupState):
+        counts = list(state.get) if state.exists else [0] * (n + 1)
+        for pdf in pdfs:
+            counts[0] += len(pdf)
+            for i in range(n):
+                counts[i + 1] += int(pdf[f"__f{i}"].sum())
+        state.update(tuple(counts))
+        yield pd.DataFrame(
+            {
+                by: [key[0]] * n,
+                "name": names,
+                "expr": exprs,
+                "tests": [counts[0]] * n,
+                "pass": [counts[i + 1] for i in range(n)],
+                "fail": [counts[0] - counts[i + 1] for i in range(n)],
+            }
+        )
+
+    return flags.groupBy(by).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

