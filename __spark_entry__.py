@@ -357,6 +357,23 @@ def q_audio_validate_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_data_by(feats, rules, by="codec")
 
 
+def q_audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-LEVEL audio violations (the filter_fails shape over decoded
+    features): (clip_id, failed_rule) pairs from one tagged scan.  The
+    cadence oracle enumerates the exact violating clip_ids per rule —
+    the strongest audio gate (row identity, not just counts)."""
+    from dataverifyr_spark.audio import clips_table, with_audio_features
+
+    clips = clips_table(spark, 2000)
+    feats = with_audio_features(clips)
+    rules = dv.ruleset(
+        dv.rule("audio_valid", name="decodes"),
+        dv.rule("audio_sr == sr_hz", name="sr_consistent"),
+        dv.rule("audio_transcript_ok", name="transcript_equal"),
+    )
+    return dv.filter_fails(rules, feats, tag=True).select("clip_id", "failed_rule")
+
+
 def q_audio_validate_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vs-REFERENCE-TABLE audio path: expectations come from a joined
     originals table (expected_bytes/expected_transcript columns) instead of
@@ -468,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
         "audio_validate_by_codec": q_audio_validate_by_codec,
+        "audio_violations": q_audio_violations,
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_validate": q_image_validate,
         "video_validate": q_video_validate,
@@ -893,6 +911,25 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    # row-LEVEL audio violations: the cadence determines exactly WHICH
+    # clip_ids violate each rule (corrupt rows also fail sr-consistency —
+    # NULL decoded sr never equals the column)
+    audio_violations = """
+    WITH flags AS (
+      SELECT i, 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+             (i > 0 AND i % 41 = 0) AS corrupt,
+             (i > 0 AND i % 17 = 0) AS bad_sr,
+             (i > 0 AND i % 31 = 0) AS empty_t,
+             (i > 0 AND i % 37 = 0) AS null_t
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    SELECT clip_id, 'audio_valid' AS failed_rule FROM flags WHERE corrupt
+    UNION ALL
+    SELECT clip_id, 'audio_sr == sr_hz' FROM flags WHERE corrupt OR bad_sr
+    UNION ALL
+    SELECT clip_id, 'audio_transcript_ok' FROM flags WHERE empty_t OR null_t
+    """
+
     # per-codec-group audio summary: the codec column itself is cadence-
     # injected (every 29th row lies 'mp3_unknown'), so group membership AND
     # per-group rule counts are pure index arithmetic
@@ -974,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
         "audio_validate_by_codec": audio_by_codec,
+        "audio_violations": audio_violations,
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "check_by_event_type": check_by_event,
