@@ -319,3 +319,44 @@ class TestAudioVsReferenceTable:
         }
         assert by["pcm_allclose_snr"] == full["pcm_allclose_snr"] + 1
         assert by["transcript_equal"] == full["transcript_equal"] + 1
+
+
+class TestBucketedVsJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """The 100 TB shape for with_audio_features_vs: clips AND the
+        reference table bucketed by clip_id — the equi-join reads both
+        bucketed tables with NO Exchange (shuffle) before the join, so the
+        payload bytes never re-shuffle."""
+        import contextlib
+        import io
+
+        from dataverifyr_spark.audio import clips_table, expected_table, with_audio_features_vs
+
+        spark.sql("DROP TABLE IF EXISTS clips_bkt")
+        spark.sql("DROP TABLE IF EXISTS expected_bkt")
+        wh = str(tmp_path)
+        clips_table(spark, 100).write.bucketBy(4, "clip_id").sortBy("clip_id").option(
+            "path", f"{wh}/clips_bkt"
+        ).saveAsTable("clips_bkt")
+        expected_table(spark, 100).write.bucketBy(4, "clip_id").sortBy("clip_id").option(
+            "path", f"{wh}/expected_bkt"
+        ).saveAsTable("expected_bkt")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            clips = spark.table("clips_bkt")
+            exp = spark.table("expected_bkt")
+            feats = with_audio_features_vs(clips, exp)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                feats.explain("formatted")
+            plan = buf.getvalue()
+            join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in join_part, plan  # bucketed: no shuffle feeds the join
+            # and the result is still correct end-to-end
+            n_valid = feats.filter("audio_valid AND audio_snr_db >= 30").count()
+            assert n_valid > 90
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS clips_bkt")
+            spark.sql("DROP TABLE IF EXISTS expected_bkt")
