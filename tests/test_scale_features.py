@@ -291,3 +291,48 @@ class TestKeyedBaseline:
         krows = {r["pk"]: r for r in ks(cur, b, by="pk").collect()}
         assert krows[0]["ks"] == pytest.approx(0.0, abs=1e-9)
         assert krows[1]["ks"] == pytest.approx(1.0, abs=1e-9)
+
+
+class TestSchemaDrift:
+    def test_snapshot_and_diff(self, spark, tmp_path):
+        from dataverifyr_spark.operators.schema_drift import (
+            check_schema_drift,
+            schema_diff,
+            snapshot_schema,
+        )
+
+        v1 = spark.createDataFrame(
+            [(1, "a", 1.0)], "id bigint, name string, score double"
+        )
+        p = str(tmp_path / "schema_v1")
+        snapshot_schema(v1, p)
+
+        # identical schema → empty diff, zero fails
+        assert schema_diff(v1, p).count() == 0
+        row = check_schema_drift(v1, p).collect()[0]
+        assert (row["tests"], row["pass"], row["fail"]) == (3, 3, 0)
+
+        # evolved: score retyped, name removed, extra added
+        v2 = spark.createDataFrame([(1, "x", "hello")], "id bigint, score string, extra string")
+        diffs = {r["column"]: r for r in schema_diff(v2, p).collect()}
+        assert diffs["score"]["status"] == "type_changed"
+        assert (diffs["score"]["old_type"], diffs["score"]["new_type"]) == ("double", "string")
+        assert diffs["name"]["status"] == "removed"
+        assert diffs["extra"]["status"] == "added"
+        row = check_schema_drift(v2, p).collect()[0]
+        assert row["fail"] == 2  # removed + type_changed; added is benign
+        assert "extra:added" in row["detail"]
+
+    def test_nullability_change_detected(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from dataverifyr_spark.operators.schema_drift import schema_diff, snapshot_schema
+
+        s1 = T.StructType([T.StructField("k", T.LongType(), False)])
+        v1 = spark.createDataFrame([(1,)], s1)
+        p = str(tmp_path / "schema_nn")
+        snapshot_schema(v1, p)
+        s2 = T.StructType([T.StructField("k", T.LongType(), True)])
+        v2 = spark.createDataFrame([(1,)], s2)
+        d = schema_diff(v2, p).collect()
+        assert len(d) == 1 and d[0]["status"] == "nullability_changed"
