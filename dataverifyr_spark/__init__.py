@@ -12,7 +12,8 @@ from .describe import describe
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
 from .io import read_rules, write_rules
-from .misc import detect_backend, plot_res
+from .misc import detect_backend, has_pkg, plot_res, simple_table
+from .suggest import suggest_rules
 from .rules import (
     DataColumn,
     ReferenceRule,
@@ -50,6 +51,9 @@ __all__ = [
     "write_rules",
     "detect_backend",
     "plot_res",
+    "simple_table",
+    "has_pkg",
+    "suggest_rules",
     "compile_expr",
     "get_symbols",
     "register_function",

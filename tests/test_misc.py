@@ -125,3 +125,56 @@ class TestHasPkg:
         assert has_pkg("numpy") is True
         assert has_pkg("definitely_not_a_package_xyz") is False
         assert has_pkg("not..a..module") is False  # ValueError path
+
+
+class TestSuggestRules:
+    def test_induced_rules_pass_on_source_and_catch_drift(self, spark):
+        """suggest_rules profiles once and emits bounds/set/not-null rules
+        that (a) all PASS on the profiled data and (b) catch out-of-contract
+        values in a drifted batch."""
+        import dataverifyr_spark as dv
+
+        src = spark.createDataFrame(
+            [(i, float(i % 50), ["red", "green", "blue"][i % 3], None if i % 7 == 0 else i * 2)
+             for i in range(1000)],
+            "id bigint, score double, color string, opt bigint",
+        )
+        rs = dv.suggest_rules(src)
+        names = {r.name for r in rs}
+        assert {"bounds_id", "bounds_score", "set_color", "notnull_id", "bounds_opt"} <= names
+        assert "notnull_opt" not in names  # opt has NULLs
+        by_name = {r.name: r for r in rs}
+        assert by_name["bounds_opt"].allow_na is True
+
+        res = {r["name"]: r for r in dv.check_data(src, rs).collect()}
+        assert all(r["fail"] == 0 for r in res.values()), {
+            k: v["fail"] for k, v in res.items() if v["fail"]
+        }
+
+        drifted = spark.createDataFrame(
+            [(2000, 99.5, "purple", None)], "id bigint, score double, color string, opt bigint"
+        )
+        dres = {r["name"]: r for r in dv.check_data(drifted, rs).collect()}
+        assert dres["bounds_id"]["fail"] == 1      # 2000 > observed max
+        assert dres["bounds_score"]["fail"] == 1   # 99.5 > 49.0
+        assert dres["set_color"]["fail"] == 1      # purple not in set
+        assert dres["notnull_id"]["fail"] == 0
+
+    def test_high_cardinality_strings_get_no_set_rule(self, spark):
+        import dataverifyr_spark as dv
+
+        src = spark.createDataFrame(
+            [(i, f"user-{i}") for i in range(500)], "id bigint, user string"
+        )
+        rs = dv.suggest_rules(src)
+        assert not any(r.name == "set_user" for r in rs)
+
+    def test_yaml_round_trip_of_suggested_rules(self, spark, tmp_path):
+        import dataverifyr_spark as dv
+
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+        rs = dv.suggest_rules(src)
+        p = str(tmp_path / "suggested.yml")
+        dv.write_rules(rs, p)
+        back = dv.read_rules(p)
+        assert [r.expr for r in back] == [r.expr for r in rs]
