@@ -10,13 +10,16 @@ the WAV-PCM16 audio path (``dataverifyr_spark.audio.wav``):
 * **PNG** — 8-bit gray/RGB/RGBA, non-interlaced (RFC 2083): chunk parsing +
   STDLIB zlib inflate + numpy per-row unfiltering (Sub is a per-lane cumsum
   mod 256; Average/Paeth loop over pixels, vectorized across channels).
+* **JPEG** — baseline DCT (see ``operators.jpeg``: numpy DCT/IDCT matrix
+  products + Python Huffman layer; 4:4:4 / 4:2:2 / 4:2:0, grayscale,
+  restart markers).
 * **Y4M** — YUV4MPEG2 uncompressed video (plain-text stream header +
   ``FRAME\\n``-prefixed raw planar frames); frame SAMPLING seeks by offset
   arithmetic without touching unsampled frames' bytes.
 
-Codec-needing formats (JPEG/H.264) still require libraries absent here and
-stay behind the honest stub in ``operators.multimodal``; everything here is a
-complete, round-trippable implementation with pinned-byte tests.
+Only compressed VIDEO codecs (H.264 etc.) still require libraries absent
+here and stay behind the honest stub in ``operators.multimodal``; everything
+here is a complete, round-trippable implementation with pinned-byte tests.
 
 All per-row work runs inside Arrow batches (``mapInPandas`` /
 ``extract_media_features``-style plumbing) — numpy slicing per item, no
@@ -164,8 +167,13 @@ def decode_image(blob: bytes) -> np.ndarray:
         if arr.shape[2] == 1:
             return np.repeat(arr, 3, axis=2)
         return arr[..., :3].copy() if arr.shape[2] == 4 else arr
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # local: jpeg.py imports ImageError from here
+
+        return decode_jpeg(blob)
     raise ImageError(
-        "unsupported container (PPM/BMP/PNG decode natively; JPEG needs a codec library)"
+        "unsupported container (PPM/BMP/PNG/baseline-JPEG decode natively; "
+        "H.264 and other video codecs need a codec library)"
     )
 
 
@@ -257,7 +265,7 @@ def y4m_sample_frames(blob: bytes, every_n: int = 1, max_frames: int | None = No
 
 DARK_EVERY = 11  # all-zero pixels (brightness rule fails)
 CORRUPT_EVERY = 13  # truncated container (decode fails)
-CODEC_EVERY = 17  # JPEG magic — needs a codec library (decode fails honestly)
+CODEC_EVERY = 17  # JPEG magic on non-JPEG bytes — a corrupt stream (decode fails)
 
 
 def _make_image_row(i: int) -> tuple:

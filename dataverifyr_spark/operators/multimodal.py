@@ -4,9 +4,11 @@
 Fully-real decoders (pure numpy + stdlib zlib, no codec libraries):
 * audio WAV-PCM16 — ``dataverifyr_spark.audio.wav``
 * still images PPM/BMP/PNG + video Y4M frame sampling — ``operators.image``
+* baseline JPEG — ``operators.jpeg`` (numpy DCT, Python Huffman layer)
 
-Only formats whose codecs are absent from this environment (JPEG, H.264)
-remain stubbed below (``decode_image_stub``).
+Only compressed VIDEO codecs (H.264 etc.), absent from this environment,
+remain stubbed below (``decode_image_stub`` keeps its name for backward
+compatibility as the generic codec-missing placeholder).
 Swapping the stub for a real codec changes only the inner function, not the
 plan shape — the Arrow batch iteration, schema contracts, and
 partition-preserving transforms here are real and tested either way.

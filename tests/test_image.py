@@ -84,10 +84,13 @@ class TestBMP:
         img = _checker(2, 4)
         assert np.array_equal(decode_image(self._encode_bmp(img)), img)
         assert np.array_equal(decode_image(encode_ppm(img)), img)
-        with pytest.raises(ImageError, match="codec"):
-            decode_image(b"\xff\xd8\xff\xe0JPEGJPEG")  # JPEG still codec-needing
-        with pytest.raises(ImageError):  # PNG decodes natively now; garbage → ImageError
+        # PNG and JPEG decode natively now; garbage under their magic → ImageError
+        with pytest.raises(ImageError):
+            decode_image(b"\xff\xd8\xff\xe0JPEGJPEG")
+        with pytest.raises(ImageError):
             decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+        with pytest.raises(ImageError, match="codec"):
+            decode_image(b"GIF87a trailer")  # genuinely unsupported container
 
 
 class TestResize:
@@ -142,7 +145,7 @@ class TestImageProbe:
         # PPM and BMP of the SAME pixels must produce identical features
         for k in ("img_mean_r", "img_mean_g", "img_mean_b", "img_brightness", "img_contrast"):
             assert got["img-0"][k] == got["img-1"][k], k
-        assert not got["img-2"]["img_valid"] and "codec" in got["img-2"]["img_error"]
+        assert not got["img-2"]["img_valid"] and got["img-2"]["img_error"]
         assert not got["img-3"]["img_valid"]
 
         # the probe columns flow through the ordinary fused rule machinery
