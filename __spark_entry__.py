@@ -412,6 +412,23 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
 
 
+def q_image_formats_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FORMAT image validation over a fixture that cycles the SAME
+    deterministic pixels through all four native decoders (PPM/BMP/PNG/JPEG)
+    — one oracle certifies every container implementation, including the
+    numpy JPEG and PNG codecs, via check_data_by(fmt)."""
+    from dataverifyr_spark.operators.image import image_probe, mixed_images_table
+
+    imgs = mixed_images_table(spark, 800)
+    feats = image_probe(imgs).join(imgs.select("media_id", "fmt"), "media_id")
+    rules = dv.ruleset(
+        dv.rule("img_valid", name="decodes"),
+        dv.rule("img_width <= 26", name="width_cap", allow_na=True),
+        dv.rule("img_brightness > 1", name="not_black", allow_na=True),
+    )
+    return check_data_by(feats, rules, by="fmt")
+
+
 def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-payload validation: real Y4M header math + offset-seek frame
     SAMPLING in one Arrow pass (operators/image.py video_probe), rules fused
@@ -488,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_violations": q_audio_violations,
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_validate": q_image_validate,
+        "image_formats_validate": q_image_formats_validate,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
@@ -876,6 +894,35 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    # mixed-format fixture: fmt itself is index-derived, so per-format group
+    # membership AND per-group rule counts are pure index arithmetic
+    image_formats = """
+    WITH mflags AS (
+      SELECT i, (['ppm','bmp','png','jpeg'])[(i % 4) + 1] AS fmt,
+             (i > 0 AND i % 13 = 0) AS corrupt,
+             (i > 0 AND i % 11 = 0) AS dark,
+             (i % 7 = 6) AS wide
+      FROM (SELECT unnest(generate_series(0, 799)) AS i)
+    )
+    SELECT fmt, 'decodes' AS name, 'img_valid' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM mflags GROUP BY fmt
+    UNION ALL
+    SELECT fmt, 'width_cap', 'img_width <= 26',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN corrupt OR NOT wide THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN corrupt OR NOT wide THEN 1 ELSE 0 END) AS BIGINT)
+    FROM mflags GROUP BY fmt
+    UNION ALL
+    SELECT fmt, 'not_black', 'img_brightness > 1',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN corrupt OR NOT dark THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN corrupt OR NOT dark THEN 1 ELSE 0 END) AS BIGINT)
+    FROM mflags GROUP BY fmt
+    """
+
     image_validate = """
     WITH iflags AS (
       SELECT i,
@@ -1014,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_violations": audio_violations,
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
+        "image_formats_validate": image_formats,
         "check_by_event_type": check_by_event,
         "violations_customer": violations,
         "reference_orders_customer": reference,

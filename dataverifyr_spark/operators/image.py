@@ -53,6 +53,8 @@ __all__ = [
     "video_probe",
     "videos_table",
     "VIDEO_PROBE_SCHEMA",
+    "mixed_images_table",
+    "MIXED_FORMATS",
 ]
 
 
@@ -622,3 +624,78 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     )
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# Mixed-format image fixture: the same deterministic pixels cycled through
+# ALL four native decoders (PPM / BMP / PNG / JPEG by index), violations at
+# the image-fixture cadences — one oracle certifies every container format
+# ---------------------------------------------------------------------------
+
+
+def _encode_bmp24(img: np.ndarray) -> bytes:
+    """Minimal 24bpp BI_RGB writer (bottom-up, 4-byte padded rows)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+MIXED_FORMATS = ("ppm", "bmp", "png", "jpeg")
+
+
+def _make_mixed_image_row(i: int) -> tuple:
+    from .jpeg import encode_jpeg
+    from .image import encode_png  # self-import safe at call time
+
+    h, w = 8 + i % 5, 16 + (i % 7) * 2  # w ∈ 16..28
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(x * 5 + i) % 250, (y * 7 + i) % 250, (x + y + i) % 250], axis=2
+    ).astype(np.uint8)
+    if i > 0 and i % DARK_EVERY == 0:
+        img[:] = 0
+    fmt = MIXED_FORMATS[i % 4]
+    if fmt == "ppm":
+        blob = encode_ppm(img)
+    elif fmt == "bmp":
+        blob = _encode_bmp24(img)
+    elif fmt == "png":
+        blob = encode_png(img, filter_type=i % 5)
+    else:
+        blob = encode_jpeg(img, quality=97, subsampling="444")
+    if i > 0 and i % CORRUPT_EVERY == 0:
+        blob = blob[: len(blob) // 4]
+    return (f"mix-{i:08d}", fmt, bytearray(blob))
+
+
+def mixed_images_table(spark, n: int = 800, num_partitions: int | None = None) -> DataFrame:
+    """All four container formats from one deterministic pixel generator."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_mixed_image_row)
+    return spark.createDataFrame(
+        rdd,
+        T.StructType(
+            [
+                T.StructField("media_id", T.StringType(), False),
+                T.StructField("fmt", T.StringType(), False),
+                T.StructField("bytes", T.BinaryType(), True),
+            ]
+        ),
+    )

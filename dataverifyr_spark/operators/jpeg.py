@@ -237,6 +237,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = int.from_bytes(blob[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ImageError("truncated JPEG segment")
         seg = blob[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -245,6 +247,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += 1
                 if pq != 0:
                     raise ImageError("16-bit quant tables unsupported")
+                if p + 64 > len(seg):
+                    raise ImageError("truncated JPEG DQT segment")
                 qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
                 p += 64
         elif marker == 0xC4:  # DHT
@@ -252,19 +256,27 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 p += 1
+                if p + 16 > len(seg):
+                    raise ImageError("truncated JPEG DHT segment")
                 bits = [0] + list(seg[p : p + 16])
                 p += 16
                 nvals = sum(bits)
+                if p + nvals > len(seg):
+                    raise ImageError("truncated JPEG DHT values")
                 vals = list(seg[p : p + nvals])
                 p += nvals
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decoder(bits, vals)
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ImageError("truncated JPEG SOF0 segment")
             prec = seg[0]
             if prec != 8:
                 raise ImageError(f"only 8-bit JPEG supported, got {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ImageError("truncated JPEG SOF0 components")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -277,6 +289,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ImageError("JPEG SOS before SOF0")
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ImageError("truncated JPEG SOS segment")
             ns = seg[0]
             scan = {}
             for c in range(ns):
