@@ -85,3 +85,21 @@ class TestKitchenSink:
         totals = {r["name"]: r for r in led.totals("ks").collect()}
         assert totals["decodes"]["tests"] == N
         assert led.pending_partitions(clips, "sr_hz", "ks").count() == 0
+
+
+class TestDriverContract:
+    def test_every_oracle_key_has_a_query(self):
+        """Guards the driver contract: oracle_sql() keys ⊆ queries() keys,
+        and each callable/SQL pair exists (drift here means a silently
+        unchecked gate)."""
+        import __spark_entry__ as e
+
+        qs, os_ = e.queries(), e.oracle_sql()
+        assert set(os_) <= set(qs), set(os_) - set(qs)
+        missing_oracle = set(qs) - set(os_)
+        assert not missing_oracle, f"rows-only gates would weaken: {missing_oracle}"
+        assert len(qs) >= 29
+        for name, fn in qs.items():
+            assert callable(fn), name
+        for name, sql in os_.items():
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name

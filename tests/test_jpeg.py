@@ -119,3 +119,32 @@ class TestIntegration:
         _, blob = _make_image_row(17)  # 17 % CODEC_EVERY == 0
         with pytest.raises(ImageError):
             decode_image(bytes(blob))
+
+
+class TestFuzzNeverExceptions:
+    def test_byte_flip_fuzz_through_probe(self, spark):
+        """Deterministic byte-flip fuzz over all four container formats: the
+        probe must yield a row for EVERY input (valid or invalid), never a
+        task failure — the never-exceptions contract under real corruption."""
+        from dataverifyr_spark.operators.image import (
+            _make_mixed_image_row,
+            image_probe,
+        )
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(80):
+            mid, fmt, blob = _make_mixed_image_row(i)
+            b = bytearray(blob)
+            if i % 2 and len(b) > 4:  # flip 3 random bytes in half the rows
+                for _ in range(3):
+                    b[rng.randint(0, len(b))] ^= 0xFF
+            rows.append((f"{fmt}-{i}", b))
+        df = spark.createDataFrame(rows, "media_id string, bytes binary")
+        got = image_probe(df).collect()
+        assert len(got) == 80  # one row per input, no dead tasks
+        assert any(r["img_valid"] for r in got)
+        assert any(not r["img_valid"] for r in got)
+        for r in got:
+            if not r["img_valid"]:
+                assert r["img_error"], r["media_id"]
