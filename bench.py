@@ -322,9 +322,16 @@ def main() -> None:
         _run_scaling()
         return
 
+    # no-Spark control flanking the timed section: the same per-clip work
+    # through plain multiprocessing.  Interleaving defends against steal
+    # BURSTS; a steal plateau spanning the whole invocation is only visible
+    # against this absolute yardstick (BENCH.md documents windows where every
+    # query ran ~4x slow with tight spreads).  ~23k clips/s = clean box.
+    hw_before = round(_hw_control(CPUS, n=4000), 1)
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     timings, spreads, n_rows = bench_queries(spark, SF_DIR, CPUS)
+    hw_after = round(_hw_control(CPUS, n=4000), 1)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -336,6 +343,7 @@ def main() -> None:
                 "queries": timings,
                 "query_spread_max_over_min": spreads,
                 "bench_rounds": ROUNDS,
+                "hw_control_clips_per_sec": {"before": hw_before, "after": hw_after},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "lineitem_rows": n_rows,
                 "bench_mult": MULT,
