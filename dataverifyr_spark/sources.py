@@ -26,9 +26,26 @@ from pyspark.sql import functions as F
 __all__ = ["load_table", "write_violations", "write_summary"]
 
 
-def load_table(spark: SparkSession, ref: str) -> DataFrame:
+def load_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFrame:
     """ref: an Iceberg catalog table name ('cat.db.tbl'), an Iceberg table
-    path, or a parquet path/directory."""
+    path, or a file path/directory (parquet / jsonl / csv).
+
+    ``fmt`` forces a reader (``parquet``/``json``/``csv``/``iceberg``);
+    otherwise catalog names resolve via the session catalog, ``.jsonl`` /
+    ``.json`` / ``.csv`` extensions pick the matching reader (csv with
+    header + schema inference — pass an explicit schema via
+    ``spark.read.csv`` directly for production ingests), and everything else
+    tries parquet then Iceberg."""
+    if fmt is not None:
+        if fmt == "parquet":
+            return spark.read.parquet(ref)
+        if fmt == "json":
+            return spark.read.json(ref)
+        if fmt == "csv":
+            return spark.read.option("header", "true").option("inferSchema", "true").csv(ref)
+        if fmt == "iceberg":
+            return spark.read.format("iceberg").load(ref)
+        raise ValueError(f"unknown fmt {fmt!r}")
     if not ref.startswith(("/", "file:", "s3:", "s3a:", "hdfs:")):
         # catalog table name (Iceberg/HMS)
         try:
@@ -36,6 +53,14 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         except Exception:
             pass
         return spark.read.format("iceberg").load(ref)
+    low = ref.rstrip("/").lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return spark.read.json(ref)
+    if low.endswith((".csv", ".tsv")):
+        reader = spark.read.option("header", "true").option("inferSchema", "true")
+        if low.endswith(".tsv"):
+            reader = reader.option("sep", "\t")
+        return reader.csv(ref)
     # filesystem ref: parquet first (the common sandbox case — avoids a noisy
     # iceberg-jar-missing stack in the logs), iceberg table dir as fallback
     try:

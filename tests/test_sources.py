@@ -77,3 +77,38 @@ class TestSources:
         out = str(tmp_path / "summary")
         write_summary(res, out, run_id="r9")
         assert spark.read.parquet(out).filter("run_id = 'r9'").count() == 1
+
+
+class TestTextFormats:
+    def test_jsonl_and_csv_load(self, spark, tmp_path):
+        import json
+
+        from dataverifyr_spark import check_data, rule, ruleset
+        from dataverifyr_spark.sources import load_table
+
+        jl = tmp_path / "docs.jsonl"
+        jl.write_text("\n".join(json.dumps({"doc_id": i, "text": f"t{i}"}) for i in range(20)))
+        df = load_table(spark, str(jl))
+        assert df.count() == 20 and set(df.columns) == {"doc_id", "text"}
+
+        cv = tmp_path / "vals.csv"
+        cv.write_text("k,v\n" + "\n".join(f"{i},{i*2}" for i in range(10)))
+        cdf = load_table(spark, str(cv))
+        assert cdf.count() == 10
+        res = check_data(cdf, ruleset(rule("v == k * 2", name="double"))).collect()
+        assert res[0]["fail"] == 0
+
+        tsv = tmp_path / "vals.tsv"
+        tsv.write_text("k\tv\n1\t2\n3\t6\n")
+        assert load_table(spark, str(tsv)).count() == 2
+
+    def test_fmt_override_and_unknown(self, spark, tmp_path):
+        import pytest as pt
+
+        from dataverifyr_spark.sources import load_table
+
+        p = tmp_path / "data.dat"  # extension lies; fmt forces json
+        p.write_text('{"a": 1}\n{"a": 2}\n')
+        assert load_table(spark, str(p), fmt="json").count() == 2
+        with pt.raises(ValueError, match="unknown fmt"):
+            load_table(spark, str(p), fmt="orcish")
