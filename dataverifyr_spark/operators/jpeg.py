@@ -138,72 +138,106 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
     return out
 
 
-def _build_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, values).items()}
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
-    stops (returns marker) at any other 0xFFxx."""
+def _build_lut(bits: list[int], values: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead decode tables: peek16 -> (symbol, code length).
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> bool:
-        if self.pos >= len(self.data):
-            return False
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                return False  # restart marker: caller consumes it explicitly
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
-        return True
-
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            raise ImageError("JPEG entropy data exhausted")
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_and_consume_rst(self) -> None:
-        self.bitbuf = 0
-        self.nbits = 0
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-
-
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    Every canonical code of length L owns the 2^(16-L) table entries whose
+    high L bits equal the code, so decoding a symbol is ONE list index
+    instead of up to 16 bit-by-bit dict probes.  Unassigned entries keep
+    length 0 = invalid code.  Plain Python lists: scalar indexing in the
+    entropy loop is ~3x faster than numpy element access.  Cached by table
+    content — a corpus reuses the same handful of tables (usually the
+    Annex-K pair), so the 2×65536-entry fill happens once per worker, not
+    once per image."""
+    key = bytes(bits) + b"|" + bytes(values)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * 65536
+    ln = [0] * 65536
     code = 0
+    vi = 0
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ImageError("invalid JPEG Huffman code")
+        for _ in range(bits[length]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = [values[vi]] * span
+            ln[base : base + span] = [length] * span
+            code += 1
+            vi += 1
+        code <<= 1
+    if len(_LUT_CACHE) < 64:  # bound worker memory under adversarial tables
+        _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
+def _entropy_segments(blob: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded stream into restart segments, pre-unstuffed
+    (0xFF00 -> 0xFF via C-level bytes.replace).  Jumps between 0xFF sightings
+    with bytes.find — no per-byte Python scan."""
+    segs: list[bytes] = []
+    n = len(blob)
+    start = i = pos
+    while True:
+        j = blob.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(blob[start:n].replace(b"\xff\x00", b"\xff"))
+            return segs
+        m = blob[j + 1]
+        if m == 0x00:
+            i = j + 2
+            continue
+        if 0xD0 <= m <= 0xD7:  # restart marker: segment boundary
+            segs.append(blob[start:j].replace(b"\xff\x00", b"\xff"))
+            i = start = j + 2
+            continue
+        segs.append(blob[start:j].replace(b"\xff\x00", b"\xff"))
+        return segs
+
+
+class _SegBits:
+    """MSB-first bit cursor over one pre-unstuffed entropy segment.  Reads
+    past the end yield zero bytes (the encoder pads the last byte with 1s);
+    more than a few pad bytes means the stream was truncated."""
+
+    __slots__ = ("d", "n", "pos", "buf", "bits", "over")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.n = len(d)
+        self.pos = 0
+        self.buf = 0
+        self.bits = 0
+        self.over = 0
+
+    def _need(self, k: int) -> None:
+        while self.bits < k:
+            if self.pos < self.n:
+                b = self.d[self.pos]
+                self.pos += 1
+            else:
+                b = 0
+                self.over += 1
+                if self.over > 8:
+                    raise ImageError("JPEG entropy data exhausted")
+            self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
+            self.bits += 8
+
+    def peek16(self) -> int:
+        if self.bits < 16:
+            self._need(16)
+        return (self.buf >> (self.bits - 16)) & 0xFFFF
+
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.bits < k:
+            self._need(k)
+        self.bits -= k
+        return (self.buf >> self.bits) & ((1 << k) - 1)
 
 
 def _extend(v: int, t: int) -> int:
@@ -265,7 +299,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ImageError("truncated JPEG DHT values")
                 vals = list(seg[p : p + nvals])
                 p += nvals
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decoder(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_lut(bits, vals)
         elif marker == 0xC0:  # SOF0 baseline
             if len(seg) < 6:
                 raise ImageError("truncated JPEG SOF0 segment")
@@ -311,58 +345,80 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
+    ncomp = len(comps)
+    nbx = [mcux * c["h"] for c in comps]
+    nby = [mcuy * c["v"] for c in comps]
+    # zigzag-order coefficient rows per component, filled in the entropy loop
+    # and dequantized + IDCT'd in ONE batched einsum per component after it
+    coefs = [np.zeros((nby[ci] * nbx[ci], 64), dtype=np.int32) for ci in range(ncomp)]
+    tabs = []
     for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        td, ta = scan.get(c["id"], (None, None))
+        if td is None or dc_tabs.get(td) is None or ac_tabs.get(ta) is None or qt.get(c["tq"]) is None:
+            raise ImageError("JPEG references undefined table")
+        dsym, dlen = dc_tabs[td]
+        asym, alen = ac_tabs[ta]
+        tabs.append((dsym, dlen, asym, alen))
 
-    br = _BitReader(blob, pos)
-    pred = [0] * len(comps)
+    segs = _entropy_segments(blob, pos)
+    seg_i = 0
+    sb = _SegBits(segs[0])
+    pred = [0] * ncomp
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_consume_rst()
-                pred = [0] * len(comps)
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ImageError("JPEG restart segment missing")
+                sb = _SegBits(segs[seg_i])
+                pred = [0] * ncomp
             for ci, c in enumerate(comps):
-                td, ta = scan[c["id"]]
-                dct = dc_tabs.get(td)
-                act = ac_tabs.get(ta)
-                q = qt.get(c["tq"])
-                if dct is None or act is None or q is None:
-                    raise ImageError("JPEG references undefined table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
-                        t = _decode_symbol(br, dct)
-                        diff = _extend(br.read_bits(t), t)
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
+                dsym, dlen, asym, alen = tabs[ci]
+                cv, ch = c["v"], c["h"]
+                width = nbx[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        row = coefs[ci][(my * cv + by) * width + (mx * ch + bx)]
+                        v16 = sb.peek16()
+                        ln = dlen[v16]
+                        if ln == 0:
+                            raise ImageError("invalid JPEG Huffman code")
+                        sb.bits -= ln
+                        t = dsym[v16]
+                        if t:
+                            pred[ci] += _extend(sb.get(t), t)
+                        row[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _decode_symbol(br, act)
-                            r, s = rs >> 4, rs & 0xF
+                            v16 = sb.peek16()
+                            ln = alen[v16]
+                            if ln == 0:
+                                raise ImageError("invalid JPEG Huffman code")
+                            sb.bits -= ln
+                            rs = asym[v16]
+                            s = rs & 0xF
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ImageError("JPEG AC run overflows block")
-                            coeffs[k] = _extend(br.read_bits(s), s)
+                            row[k] = _extend(sb.get(s), s)
                             k += 1
-                        block = (coeffs * q)[_UNZIGZAG].reshape(8, 8).astype(np.float64)
-                        pixels = _D.T @ block @ _D + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pixels
             mcu_count += 1
 
-    # upsample subsampled planes to full MCU grid, crop, color-convert
+    # batched dequant + IDCT + layout per component, then upsample/crop
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        q = qt[c["tq"]]
+        deq = (coefs[ci] * q[None, :])[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        pixels = np.einsum("ij,njk,kl->nil", _D.T, deq, _D) + 128.0
+        p = pixels.reshape(nby[ci], nbx[ci], 8, 8).transpose(0, 2, 1, 3).reshape(
+            nby[ci] * 8, nbx[ci] * 8
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
