@@ -412,6 +412,17 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
 
 
+def q_suggest_rules_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule induction certified end-to-end: suggest_rules profiles customer
+    (bounds for the 3 numerics, a value-set for the 5-value c_mktsegment,
+    not-null for every null-free column — 9 rules), then check_data applies
+    them back to the profiled table.  The oracle pins exactly WHICH rules
+    were induced and that every one self-passes (tests = rows, fail = 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    rs = dv.suggest_rules(cust)
+    return dv.check_data(cust, rs).select("name", "tests", "pass", "fail")
+
+
 def q_image_formats_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-FORMAT image validation over a fixture that cycles the SAME
     deterministic pixels through all four native decoders (PPM/BMP/PNG/JPEG)
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_validate": q_image_validate,
         "image_formats_validate": q_image_formats_validate,
+        "suggest_rules_customer": q_suggest_rules_customer,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
@@ -1062,6 +1074,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "image_formats_validate": image_formats,
+        "suggest_rules_customer": """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM customer)
+    SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
+    FROM n, (VALUES ('bounds_c_custkey'), ('notnull_c_custkey'),
+                    ('notnull_c_name'),
+                    ('bounds_c_nationkey'), ('notnull_c_nationkey'),
+                    ('bounds_c_acctbal'), ('notnull_c_acctbal'),
+                    ('set_c_mktsegment'), ('notnull_c_mktsegment')) AS r(name)
+    """,
         "check_by_event_type": check_by_event,
         "violations_customer": violations,
         "reference_orders_customer": reference,
