@@ -423,6 +423,22 @@ def q_suggest_rules_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(cust, rs).select("name", "tests", "pass", "fail")
 
 
+def q_schema_drift_lineitem_vs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract drift certified end-to-end: snapshot lineitem's schema,
+    diff customer against it — every lineitem column reports removed, every
+    customer column added (the tables share no names).  Driver-only math on
+    df.schema; the oracle is the static expected diff."""
+    import tempfile
+
+    from dataverifyr_spark.operators.schema_drift import schema_diff, snapshot_schema
+
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    snap = tempfile.mkdtemp(prefix="schema_snap_") + "/lineitem"
+    snapshot_schema(li, snap)
+    return schema_diff(cust, snap)
+
+
 def q_image_formats_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-FORMAT image validation over a fixture that cycles the SAME
     deterministic pixels through all four native decoders (PPM/BMP/PNG/JPEG)
@@ -518,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_validate": q_image_validate,
         "image_formats_validate": q_image_formats_validate,
         "suggest_rules_customer": q_suggest_rules_customer,
+        "schema_drift_lineitem_vs_customer": q_schema_drift_lineitem_vs_customer,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
@@ -1074,6 +1091,26 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "image_formats_validate": image_formats,
+        "schema_drift_lineitem_vs_customer": """
+    SELECT * FROM (VALUES
+      ('c_custkey',    'added', CAST(NULL AS VARCHAR), 'bigint'),
+      ('c_name',       'added', NULL, 'string'),
+      ('c_nationkey',  'added', NULL, 'int'),
+      ('c_acctbal',    'added', NULL, 'double'),
+      ('c_mktsegment', 'added', NULL, 'string'),
+      ('l_orderkey',     'removed', 'bigint', CAST(NULL AS VARCHAR)),
+      ('l_partkey',      'removed', 'bigint', NULL),
+      ('l_suppkey',      'removed', 'bigint', NULL),
+      ('l_linenumber',   'removed', 'int', NULL),
+      ('l_quantity',     'removed', 'double', NULL),
+      ('l_extendedprice','removed', 'double', NULL),
+      ('l_discount',     'removed', 'double', NULL),
+      ('l_tax',          'removed', 'double', NULL),
+      ('l_returnflag',   'removed', 'string', NULL),
+      ('l_linestatus',   'removed', 'string', NULL),
+      ('l_shipdate',     'removed', 'timestamp_ntz', NULL)
+    ) AS t("column", status, old_type, new_type)
+    """,
         "suggest_rules_customer": """
     WITH n AS (SELECT COUNT(*) AS cnt FROM customer)
     SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
