@@ -412,6 +412,22 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-gap detection: 6-hour buckets of January with ZERO events,
+    after carving days 5 and 12 out of the stream (so every SF has known
+    gaps).  Calendar side is a generated sequence, observed side one
+    distinct-bucket aggregation, gaps = anti-join; the oracle recomputes
+    the same buckets with time_bucket + generate_series."""
+    import datetime as _dt
+
+    from dataverifyr_spark.operators.freshness import interval_gaps
+
+    ev = _t(spark, sf_dir, "events").filter(~F.dayofmonth("ts").isin(5, 12))
+    return interval_gaps(
+        ev, "ts", _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 31), interval_minutes=360
+    )
+
+
 def q_suggest_rules_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule induction certified end-to-end: suggest_rules profiles customer
     (bounds for the 3 numerics, a value-set for the 5-value c_mktsegment,
@@ -535,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_formats_validate": q_image_formats_validate,
         "suggest_rules_customer": q_suggest_rules_customer,
         "schema_drift_lineitem_vs_customer": q_schema_drift_lineitem_vs_customer,
+        "event_gaps": q_event_gaps,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
@@ -1091,6 +1108,20 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "image_formats_validate": image_formats,
+        "event_gaps": """
+    WITH obs AS (
+      SELECT DISTINCT time_bucket(INTERVAL 6 HOUR, ts) AS bucket
+      FROM events WHERE date_part('day', ts) NOT IN (5, 12)
+    ),
+    cal AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-31 00:00:00',
+                                    INTERVAL 6 HOUR)) AS bucket
+    )
+    SELECT bucket FROM cal
+    WHERE bucket < TIMESTAMP '2024-01-31 00:00:00'
+      AND bucket NOT IN (SELECT bucket FROM obs)
+    """,
         "schema_drift_lineitem_vs_customer": """
     SELECT * FROM (VALUES
       ('c_custkey',    'added', CAST(NULL AS VARCHAR), 'bigint'),

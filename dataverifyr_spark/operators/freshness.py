@@ -69,9 +69,10 @@ def interval_gaps(
         ).alias("bucket")
     ).filter(F.col("bucket") < F.lit(end).cast("timestamp"))
     secs = interval_minutes * 60
+    # cast through timestamp first: TIMESTAMP_NTZ cannot cast to double
+    # directly under Spark 4 ANSI (parquet event times are commonly NTZ)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
     observed = df.select(
-        F.timestamp_seconds(
-            (F.floor(F.col(ts_col).cast("double") / secs) * secs).cast("long")
-        ).alias("bucket")
+        F.timestamp_seconds((F.floor(epoch / secs) * secs).cast("long")).alias("bucket")
     ).distinct()
     return calendar.join(observed, "bucket", "left_anti").orderBy("bucket")
