@@ -228,3 +228,51 @@ class TestConcurrentReferenceRules:
         res = _rows(check_data({"flights": flights(spark), "carriers": carriers(spark)}, rs))
         assert [r["name"] for r in res] == ["fk_a", "fk_b", "fk_c"]
         assert [(r["pass"], r["fail"]) for r in res] == [(1, 2), (2, 1), (2, 1)]
+
+
+class TestSampleDataSchemaScenario:
+    def test_timestamp_declared_str_fails_then_untyped_passes(self, spark):
+        """Mirror of tests/testthat/test-sample_data.R:27-65: order_time is a
+        timestamp; declaring it type='str' yields a schema type-fail row (and
+        stop_on_schema_fail raises with the reference's message), while
+        declaring it untyped passes under extra_columns='ignore'."""
+        from dataverifyr_spark import CheckDataError, check_data, data_column, rule, ruleset
+        from dataverifyr_spark.fixtures import orders
+
+        df = orders(spark)
+        rs = ruleset(
+            rule("amount >= 0", name="amount must be non-negative", allow_na=True),
+            rule("!paid | payment_method != 'none'", name="paid orders require payment",
+                 allow_na=True),
+            data_columns=[
+                data_column("order_id", "int", optional=False),
+                data_column("customer_tier", "str", optional=False),
+                data_column("amount", "double", optional=False),
+                data_column("paid", "logical", optional=False),
+                data_column("payment_method", "str", optional=False),
+                data_column("order_time", "str", optional=True),  # actually timestamp
+            ],
+        )
+        res = check_data(df, rs).collect()
+        type_fails = [
+            r for r in res
+            if r["check_type"] == "schema" and "type" in r["name"] and r["fail"] == 1
+        ]
+        assert len(type_fails) == 1 and "order_time" in type_fails[0]["name"]
+        with pytest.raises(CheckDataError, match="schema fails"):
+            check_data(df, rs, stop_on_schema_fail=True)
+
+        rs_ok = ruleset(
+            rule("amount >= 0", name="amount must be non-negative", allow_na=True),
+            data_columns=[
+                data_column("order_id", "int", optional=False),
+                data_column("customer_tier", "str", optional=False),
+                data_column("amount", "double", optional=False),
+                data_column("paid", "logical", optional=False),
+                data_column("payment_method", "str", optional=False),
+                data_column("order_time", optional=True),  # untyped: existence only
+            ],
+        )
+        res_ok = check_data(df, rs_ok, extra_columns="ignore").collect()
+        assert {"name", "pass", "fail"} <= set(res_ok[0].asDict())
+        assert all(r["fail"] == 0 for r in res_ok if r["check_type"] == "schema")
