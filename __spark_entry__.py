@@ -412,6 +412,17 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(image_probe(imgs), rules).select(*_SUMMARY_COLS)
 
 
+def q_reference_by_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group referential integrity: FK membership counts per
+    o_orderstatus in ONE key-only join + groupBy (check_data_by with
+    datasets) — the north_rule per-partition shape applied to reference
+    rules, with a plain SQL join oracle."""
+    orders_df = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rs = dv.ruleset(dv.reference_rule("o_custkey", "customer", "c_custkey", name="fk_by"))
+    return check_data_by(orders_df, rs, by="o_orderstatus", datasets={"customer": cust})
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-gap detection: 6-hour buckets of January with ZERO events,
     after carving days 5 and 12 out of the stream (so every SF has known
@@ -552,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_rules_customer": q_suggest_rules_customer,
         "schema_drift_lineitem_vs_customer": q_schema_drift_lineitem_vs_customer,
         "event_gaps": q_event_gaps,
+        "reference_by_orderstatus": q_reference_by_orderstatus,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
     }
@@ -1108,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate_vs_reference": audio,
         "image_validate": image_validate,
         "image_formats_validate": image_formats,
+        "reference_by_orderstatus": """
+    SELECT o_orderstatus, 'fk_by' AS name,
+           'o_custkey %in% customer$c_custkey' AS expr,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM orders GROUP BY o_orderstatus
+    """,
         "event_gaps": """
     WITH obs AS (
       SELECT DISTINCT time_bucket(INTERVAL 6 HOUR, ts) AS bucket

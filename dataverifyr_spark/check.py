@@ -550,8 +550,15 @@ def check_data_by(
     df: DataFrame,
     rules: Ruleset | Rule,
     by: list[str] | str,
+    datasets: Mapping[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-group pass/fail summary — stays distributed (no collect).
+
+    Reference (FK) rules are supported when ``datasets`` supplies the lookup
+    tables: each becomes ONE key-only projection → distinct-ref left join →
+    the same groupBy aggregation (payload bytes never join), and its rows
+    union after the expression-rule rows.  Without ``datasets`` a ruleset
+    containing reference rules raises instead of silently dropping them.
 
     One ``groupBy(by).agg`` computes every rule's conditional sum per group in
     a single shuffle; results are unpivoted to long form
@@ -571,30 +578,74 @@ def check_data_by(
         rules = ruleset(rules)
     by_cols = [by] if isinstance(by, str) else list(by)
 
-    compiled = _compile_all(df, [r for r in rules if not isinstance(r, ReferenceRule)])
-    good = [c for c in compiled if c.pred is not None]
-    if not good:
-        raise ValueError("no compilable rules for check_data_by")
-
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__tests")]
-    for i, c in enumerate(good):
-        aggs.append(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{i}"))
-    grouped = df.groupBy(*[F.col(c) for c in by_cols]).agg(*aggs)
-
-    structs = [
-        F.struct(
-            F.lit(c.rule.name).alias("name"),
-            F.lit(c.rule.expr).alias("expr"),
-            F.col("__tests").alias("tests"),
-            F.col(f"__p{i}").alias("pass"),
-            (F.col("__tests") - F.col(f"__p{i}")).alias("fail"),
+    ref_rules = [r for r in rules if isinstance(r, ReferenceRule)]
+    if ref_rules and datasets is None:
+        raise ValueError(
+            "ruleset contains reference rules; pass datasets={'name': ref_df, ...} "
+            "to check_data_by (they would otherwise be silently dropped)"
         )
-        for i, c in enumerate(good)
-    ]
-    return (
-        grouped.select(*by_cols, F.explode(F.array(*structs)).alias("__r"))
-        .select(*by_cols, "__r.name", "__r.expr", "__r.tests", "__r.pass", "__r.fail")
-    )
+    expr_rules = [r for r in rules if not isinstance(r, ReferenceRule)]
+
+    out: DataFrame | None = None
+    if expr_rules:
+        compiled = _compile_all(df, expr_rules)
+        good = [c for c in compiled if c.pred is not None]
+        if not good:
+            raise ValueError("no compilable rules for check_data_by")
+
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__tests")]
+        for i, c in enumerate(good):
+            aggs.append(F.sum(F.when(c.pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{i}"))
+        grouped = df.groupBy(*[F.col(c) for c in by_cols]).agg(*aggs)
+
+        structs = [
+            F.struct(
+                F.lit(c.rule.name).alias("name"),
+                F.lit(c.rule.expr).alias("expr"),
+                F.col("__tests").alias("tests"),
+                F.col(f"__p{i}").alias("pass"),
+                (F.col("__tests") - F.col(f"__p{i}")).alias("fail"),
+            )
+            for i, c in enumerate(good)
+        ]
+        out = (
+            grouped.select(*by_cols, F.explode(F.array(*structs)).alias("__r"))
+            .select(*by_cols, "__r.name", "__r.expr", "__r.tests", "__r.pass", "__r.fail")
+        )
+
+    for r in ref_rules:
+        if r.ref_dataset not in datasets:
+            raise ValueError(f"reference dataset '{r.ref_dataset}' not provided")
+        ref_vals = (
+            datasets[r.ref_dataset].select(F.col(r.ref_col).alias("__ref_val")).distinct()
+        )
+        # key-only projection: by columns + the FK column; payload never joins
+        local = df.select(*[F.col(c) for c in by_cols], F.col(r.local_col))
+        joined = local.join(ref_vals, local[r.local_col] == F.col("__ref_val"), "left")
+        ok = F.col("__ref_val").isNotNull()
+        if r.allow_na:  # rescue FIRST, negate LAST (R/data_column.R:353-358)
+            ok = ok | F.col(r.local_col).isNull()
+        if r.negate:
+            ok = ~ok
+        rows = (
+            joined.groupBy(*[F.col(c) for c in by_cols])
+            .agg(
+                F.count(F.lit(1)).alias("tests"),
+                F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("pass"),
+            )
+            .select(
+                *by_cols,
+                F.lit(r.name).alias("name"),
+                F.lit(r.expr).alias("expr"),
+                "tests",
+                "pass",
+                (F.col("tests") - F.col("pass")).alias("fail"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    if out is None:
+        raise ValueError("no compilable rules for check_data_by")
+    return out
 
 
 def combined_fail_predicate(rules: Ruleset) -> Column:

@@ -244,3 +244,54 @@ class TestAllowNaCoercionCorner:
         res = check_data(df, rule("as.numeric(vs) %in% c(0, 1)", allow_na=True)).collect()[0]
         assert (res["tests"], res["pass"], res["fail"]) == (32, 31, 1)
         assert res["warn"] == "NAs introduced by coercion"
+
+
+class TestCheckDataByReference:
+    def test_per_group_fk_counts(self, spark):
+        """check_data_by now evaluates reference rules per group (key-only
+        join, no payload shuffle) instead of silently dropping them."""
+        from dataverifyr_spark import reference_rule
+
+        orders_df = spark.createDataFrame(
+            [(1, "A", 10), (2, "A", 99), (3, "B", 10), (4, "B", 20), (5, "B", None)],
+            "oid int, region string, cust int",
+        )
+        customers = spark.createDataFrame([(10,), (20,)], "cid int")
+        rs = ruleset(
+            rule("oid > 0", name="oid_pos"),
+            reference_rule("cust", "customers", "cid", name="fk"),
+        )
+        out = check_data_by(
+            orders_df, rs, by="region", datasets={"customers": customers}
+        ).collect()
+        got = {(r["region"], r["name"]): (r["tests"], r["pass"], r["fail"]) for r in out}
+        assert got[("A", "oid_pos")] == (2, 2, 0)
+        assert got[("A", "fk")] == (2, 1, 1)  # 99 not in set
+        assert got[("B", "fk")] == (3, 2, 1)  # NULL cust fails (%in% never NA)
+
+    def test_allow_na_and_negate_per_group(self, spark):
+        from dataverifyr_spark import reference_rule
+
+        df = spark.createDataFrame(
+            [(1, "g", 10), (2, "g", None), (3, "g", 77)], "oid int, grp string, cust int"
+        )
+        ref = spark.createDataFrame([(10,)], "cid int")
+        rescued = check_data_by(
+            df, ruleset(reference_rule("cust", "c", "cid", allow_na=True)),
+            by="grp", datasets={"c": ref},
+        ).collect()[0]
+        assert (rescued["tests"], rescued["pass"], rescued["fail"]) == (3, 2, 1)
+        negated = check_data_by(
+            df, ruleset(reference_rule("cust", "c", "cid", negate=True)),
+            by="grp", datasets={"c": ref},
+        ).collect()[0]
+        # negate: set hits fail; NULL and 77 pass
+        assert (negated["tests"], negated["pass"], negated["fail"]) == (3, 2, 1)
+
+    def test_missing_datasets_raises(self, spark, cars_df):
+        from dataverifyr_spark import reference_rule
+
+        with pytest.raises(ValueError, match="silently dropped"):
+            check_data_by(
+                cars_df, ruleset(rule("mpg > 0"), reference_rule("cyl", "t", "c")), by="am"
+            )
