@@ -616,13 +616,20 @@ def check_data_by(
     for r in ref_rules:
         if r.ref_dataset not in datasets:
             raise ValueError(f"reference dataset '{r.ref_dataset}' not provided")
+        # collision-proof alias: never shadowed by a user column of the same
+        # name, and unique even when the FK column is itself a by column
+        ref_alias = "__dvfy_ref_val"
+        while ref_alias in df.columns:
+            ref_alias = "_" + ref_alias
         ref_vals = (
-            datasets[r.ref_dataset].select(F.col(r.ref_col).alias("__ref_val")).distinct()
+            datasets[r.ref_dataset].select(F.col(r.ref_col).alias(ref_alias)).distinct()
         )
-        # key-only projection: by columns + the FK column; payload never joins
-        local = df.select(*[F.col(c) for c in by_cols], F.col(r.local_col))
-        joined = local.join(ref_vals, local[r.local_col] == F.col("__ref_val"), "left")
-        ok = F.col("__ref_val").isNotNull()
+        # key-only projection: by columns + the FK column (deduped — the FK
+        # may itself be a by column); payload never joins
+        proj = list(by_cols) + ([r.local_col] if r.local_col not in by_cols else [])
+        local = df.select(*[F.col(c) for c in proj])
+        joined = local.join(ref_vals, local[r.local_col] == F.col(ref_alias), "left")
+        ok = F.col(ref_alias).isNotNull()
         if r.allow_na:  # rescue FIRST, negate LAST (R/data_column.R:353-358)
             ok = ok | F.col(r.local_col).isNull()
         if r.negate:

@@ -387,6 +387,8 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                         sb.bits -= ln
                         t = dsym[v16]
                         if t:
+                            if t > 15:  # T.81 F.1.2.1.1: DC category 0..11; >15 would overflow int32 coefs
+                                raise ImageError("invalid JPEG DC category")
                             pred[ci] += _extend(sb.get(t), t)
                         row[0] = pred[ci]
                         k = 1
@@ -406,6 +408,8 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                             k += rs >> 4
                             if k > 63:
                                 raise ImageError("JPEG AC run overflows block")
+                            if s > 10:  # T.81 F.1.2.2.1: baseline AC category 1..10
+                                raise ImageError("invalid JPEG AC category")
                             row[k] = _extend(sb.get(s), s)
                             k += 1
             mcu_count += 1

@@ -30,7 +30,7 @@ def load_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFra
     """ref: an Iceberg catalog table name ('cat.db.tbl'), an Iceberg table
     path, or a file path/directory (parquet / jsonl / csv).
 
-    ``fmt`` forces a reader (``parquet``/``json``/``csv``/``iceberg``);
+    ``fmt`` forces a reader (``parquet``/``json``/``csv``/``tsv``/``iceberg``);
     otherwise catalog names resolve via the session catalog, ``.jsonl`` /
     ``.json`` / ``.csv`` extensions pick the matching reader (csv with
     header + schema inference — pass an explicit schema via
@@ -41,8 +41,13 @@ def load_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFra
             return spark.read.parquet(ref)
         if fmt == "json":
             return spark.read.json(ref)
-        if fmt == "csv":
-            return spark.read.option("header", "true").option("inferSchema", "true").csv(ref)
+        if fmt in ("csv", "tsv"):
+            reader = spark.read.option("header", "true").option("inferSchema", "true")
+            # forced csv on a .tsv path must still honor the tab separator,
+            # matching the extension-sniffing path below
+            if fmt == "tsv" or ref.rstrip("/").lower().endswith(".tsv"):
+                reader = reader.option("sep", "\t")
+            return reader.csv(ref)
         if fmt == "iceberg":
             return spark.read.format("iceberg").load(ref)
         raise ValueError(f"unknown fmt {fmt!r}")

@@ -36,6 +36,13 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def _quote(v: str) -> str:
+    """Single-quoted expr string literal; backslash-escape so values
+    containing quotes (O'Brien) or backslashes round-trip through the
+    expr lexer's \\. escape rule instead of producing an unparseable rule."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def suggest_rules(
     df: DataFrame,
     max_set_size: int = 20,
@@ -98,7 +105,7 @@ def suggest_rules(
                     )
                 )
         if name in value_sets:
-            quoted = ", ".join(f"'{v}'" for v in value_sets[name])
+            quoted = ", ".join(_quote(v) for v in value_sets[name])
             out.append(
                 rule(f"{name} %in% c({quoted})", name=f"set_{name}", allow_na=n_na > 0)
             )

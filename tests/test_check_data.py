@@ -288,6 +288,25 @@ class TestCheckDataByReference:
         # negate: set hits fail; NULL and 77 pass
         assert (negated["tests"], negated["pass"], negated["fail"]) == (3, 2, 1)
 
+    def test_fk_column_is_also_a_by_column(self, spark):
+        """ADVICE r3: FK col ∈ by cols must not produce a duplicate-name
+        projection / ambiguous reference; user __dvfy_ref_val col must not
+        collide with the join alias."""
+        from dataverifyr_spark import reference_rule
+
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (2, 10, "x"), (3, 99, "x")],
+            "oid int, cust int, __dvfy_ref_val string",
+        )
+        ref = spark.createDataFrame([(10,)], "cid int")
+        out = check_data_by(
+            df, ruleset(reference_rule("cust", "c", "cid", name="fk")),
+            by="cust", datasets={"c": ref},
+        ).collect()
+        got = {r["cust"]: (r["tests"], r["pass"], r["fail"]) for r in out}
+        assert got[10] == (2, 2, 0)
+        assert got[99] == (1, 0, 1)
+
     def test_missing_datasets_raises(self, spark, cars_df):
         from dataverifyr_spark import reference_rule
 

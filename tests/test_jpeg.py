@@ -84,6 +84,40 @@ class TestMalformed:
         with pytest.raises(ImageError, match="scan|exhaust|marker"):
             decode_jpeg(blob[:i] + b"\xff\xd9")
 
+    @staticmethod
+    def _patch_dht_symbols(blob: bytes, table_class: int, new_sym: int) -> bytes:
+        """Rewrite every symbol byte of DHT tables of the given class
+        (0=DC, 1=AC) to new_sym — adversarial custom-Huffman-table stream."""
+        b = bytearray(blob)
+        i = 0
+        while True:
+            i = blob.find(b"\xff\xc4", i)
+            if i < 0:
+                return bytes(b)
+            seg_len = (blob[i + 2] << 8) | blob[i + 3]
+            p, end = i + 4, i + 2 + seg_len
+            while p < end:
+                tc = blob[p] >> 4
+                counts = blob[p + 1 : p + 17]
+                nsym = sum(counts)
+                if tc == table_class:
+                    for q in range(p + 17, p + 17 + nsym):
+                        b[q] = new_sym
+                p += 17 + nsym
+            i = end
+
+    def test_dc_category_over_15_is_image_error(self):
+        """ADVICE r3: category symbols >15 must raise ImageError, not
+        overflow int32 with a raw OverflowError."""
+        blob = self._patch_dht_symbols(encode_jpeg(_smooth(16, 16)), 0, 31)
+        with pytest.raises(ImageError, match="DC category|Huffman"):
+            decode_jpeg(blob)
+
+    def test_ac_category_over_10_is_image_error(self):
+        blob = self._patch_dht_symbols(encode_jpeg(_smooth(16, 16)), 1, 0x0F)
+        with pytest.raises(ImageError, match="AC category|Huffman"):
+            decode_jpeg(blob)
+
 
 class TestIntegration:
     def test_decode_image_dispatch(self):

@@ -160,6 +160,24 @@ class TestSuggestRules:
         assert dres["set_color"]["fail"] == 1      # purple not in set
         assert dres["notnull_id"]["fail"] == 0
 
+    def test_values_with_quotes_round_trip(self, spark):
+        """ADVICE r3: observed values containing quotes/backslashes must be
+        escaped so the induced set rule parses and passes, not error."""
+        import dataverifyr_spark as dv
+
+        src = spark.createDataFrame(
+            [(1, "O'Brien"), (2, 'say "hi"'), (3, "back\\slash"), (4, "plain")],
+            "id bigint, who string",
+        )
+        rs = dv.suggest_rules(src)
+        res = {r["name"]: r for r in dv.check_data(src, rs).collect()}
+        assert not res["set_who"]["error"]
+        assert (res["set_who"]["tests"], res["set_who"]["fail"]) == (4, 0)
+        drift = spark.createDataFrame([(9, "D'Arcy")], "id bigint, who string")
+        assert {r["name"]: r["fail"] for r in dv.check_data(drift, rs).collect()}[
+            "set_who"
+        ] == 1
+
     def test_high_cardinality_strings_get_no_set_rule(self, spark):
         import dataverifyr_spark as dv
 

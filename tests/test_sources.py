@@ -98,9 +98,17 @@ class TestTextFormats:
         res = check_data(cdf, ruleset(rule("v == k * 2", name="double"))).collect()
         assert res[0]["fail"] == 0
 
-        tsv = tmp_path / "vals.tsv"
-        tsv.write_text("k\tv\n1\t2\n3\t6\n")
-        assert load_table(spark, str(tsv)).count() == 2
+    def test_tsv_same_parse_sniffed_or_forced(self, spark, tmp_path):
+        """ADVICE r3: a .tsv file must parse identically whether fmt is
+        sniffed from the extension, forced to 'csv', or forced to 'tsv'."""
+        from dataverifyr_spark.sources import load_table
+
+        tv = tmp_path / "vals.tsv"
+        tv.write_text("k\tv\n" + "\n".join(f"{i}\t{i*3}" for i in range(5)))
+        for fmt in (None, "csv", "tsv"):
+            df = load_table(spark, str(tv), fmt=fmt)
+            assert df.columns == ["k", "v"], (fmt, df.columns)
+            assert df.count() == 5
 
     def test_fmt_override_and_unknown(self, spark, tmp_path):
         import pytest as pt

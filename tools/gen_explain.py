@@ -101,7 +101,8 @@ feats = with_audio_features_vs(clips, exp, broadcast_expected=True)
 vpreds = [compile_rule_predicate(r).column for r in audio_ruleset()]
 vplan = cap(feats.agg(*[F.sum(F.when(p,1).otherwise(0)).alias(f"p{i}") for i,p in enumerate(vpreds)]))
 assert vplan.count("ArrowEvalPython") == 2  # tree + detail of ONE node
-assert "BroadcastHashJoin" in vplan or "BroadcastNestedLoopJoin" not in vplan
+assert "BroadcastNestedLoopJoin" not in vplan, vplan
+assert "BroadcastHashJoin" in vplan, vplan
 sections.append(("Vs-reference audio (broadcast clip_id join -> ONE dual-decode ArrowEvalPython -> fused agg)", vplan))
 
 with open("/root/repo/EXPLAIN.md","w") as f:
