@@ -531,6 +531,113 @@ def q_lsh_pairs_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return verified.filter(F.col("jaccard") >= 0.7).select("id_new", "id_corpus", "jaccard")
 
 
+def q_stream_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming flagship (applyInPandasWithState,
+    streaming/validate.py): the events table replayed as 3 DETERMINISTIC
+    micro-batches (event_id % 3) through ``check_stream_cumulative``; every
+    trigger emits each appearing key's running (tests, pass, fail) per rule.
+    Oracled by a DuckDB windowed cumulative-sum CTE over the same batch
+    assignment — per (batch, event_type, rule) counters must hash-match."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.streaming import check_stream_cumulative
+
+    rules = dv.ruleset(
+        dv.rule("value <= 100", name="v_low"),
+        dv.rule("value > 400", name="v_not_extreme", negate=True),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).cast("int").alias("batch"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="dvfy_stream_gate_")
+    acc: dict[tuple, tuple] = {}
+    try:
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        staged = []
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                ev.filter(F.col("batch") == b)
+                .select("event_type", "value")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            staged.append(glob.glob(os.path.join(stage, "part-*.parquet"))[0])
+        sdf = spark.readStream.schema("event_type string, value double").parquet(indir)
+        out = check_stream_cumulative(sdf, rules, by="event_type")
+        cur = {"batch": 0}
+
+        def sink(bdf: DataFrame, _bid: int) -> None:
+            # last emission per (key, rule) within a trigger wins (cumulative)
+            for r in bdf.collect():
+                acc[(cur["batch"], r["event_type"], r["name"])] = (
+                    r["tests"], r["pass"], r["fail"],
+                )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            for b in range(3):  # one file in, drain, THEN next — ordered batches
+                cur["batch"] = b
+                shutil.copy(staged[b], os.path.join(indir, f"b{b}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [(b, k, n, t, p, f_) for (b, k, n), (t, p, f_) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "batch int, event_type string, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
+def q_ledger_resume_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume through the ValidationLedger (ledger.py): phase 1
+    "crashes" after committing only partition 'A'; phase 2 resumes with a
+    FRESH ledger instance (process restart) over the full table — the
+    anti-join must skip 'A' and validate only N/R; phase 3 re-invokes (0
+    pending, no-op).  Final per-(partition, rule) lineage rows must equal a
+    single-shot run — the DuckDB group-by oracle — proving resume loses no
+    partition and double-counts none."""
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.ledger import ValidationLedger
+
+    rules = dv.ruleset(
+        dv.rule("l_quantity > 0 & l_quantity <= 30", name="q1"),
+        dv.rule("l_tax >= 0.05", name="q4", negate=True),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="dvfy_ledger_gate_")
+    try:
+        path = os.path.join(root, "ledger")
+        ValidationLedger(spark, path).run(
+            li.filter("l_returnflag = 'A'"), rules, "l_returnflag", run_id="gate"
+        )
+        resumed = ValidationLedger(spark, path)
+        resumed.run(li, rules, "l_returnflag", run_id="gate")
+        resumed.run(li, rules, "l_returnflag", run_id="gate")  # idempotent
+        rows = [
+            (r["part_key"], r["name"], r["tests"], r["pass"], r["fail"])
+            for r in resumed.results("gate")
+            .select("part_key", "name", "tests", "pass", "fail")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "part_key string, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_lineitem": q_check_lineitem,
@@ -566,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_by_orderstatus": q_reference_by_orderstatus,
         "video_validate": q_video_validate,
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
+        "stream_cumulative_events": q_stream_cumulative_events,
+        "ledger_resume_lineitem": q_ledger_resume_lineitem,
     }
 
 
@@ -1111,6 +1220,45 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_pairs_documents": lsh_jaccard,
         "lsh_pairs_against_documents": lsh_pairs_against,
         "video_validate": video_validate,
+        "stream_cumulative_events": """
+    WITH f AS (
+      SELECT CAST(event_id % 3 AS INTEGER) AS batch, event_type,
+             CASE WHEN value <= 100 THEN 1 ELSE 0 END AS p0,
+             CASE WHEN NOT (value > 400) THEN 1 ELSE 0 END AS p1
+      FROM events
+    ),
+    pb AS (
+      SELECT batch, event_type, COUNT(*) AS t, SUM(p0) AS s0, SUM(p1) AS s1
+      FROM f GROUP BY batch, event_type
+    ),
+    cum AS (
+      SELECT batch, event_type,
+             CAST(SUM(t)  OVER w AS BIGINT) AS tests,
+             CAST(SUM(s0) OVER w AS BIGINT) AS c0,
+             CAST(SUM(s1) OVER w AS BIGINT) AS c1
+      FROM pb WINDOW w AS (PARTITION BY event_type ORDER BY batch)
+    )
+    SELECT batch, event_type, 'v_low' AS name, tests, c0 AS "pass", tests - c0 AS fail FROM cum
+    UNION ALL
+    SELECT batch, event_type, 'v_not_extreme' AS name, tests, c1 AS "pass", tests - c1 AS fail FROM cum
+    """,
+        "ledger_resume_lineitem": """
+    WITH base AS (
+      SELECT CAST(l_returnflag AS VARCHAR) AS part_key,
+             CASE WHEN l_quantity > 0 AND l_quantity <= 30 THEN 1 ELSE 0 END AS p0,
+             CASE WHEN NOT (l_tax >= 0.05) THEN 1 ELSE 0 END AS p1
+      FROM lineitem
+    )
+    SELECT part_key, 'q1' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p0) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p0) AS BIGINT) AS fail
+    FROM base GROUP BY part_key
+    UNION ALL
+    SELECT part_key, 'q4' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p1) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p1) AS BIGINT) AS fail
+    FROM base GROUP BY part_key
+    """,
         "embedding_dedup_groups": embedding_dedup,
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
