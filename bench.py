@@ -316,7 +316,97 @@ def _run_scaling() -> None:
     )
 
 
+def _decode_bench_row(i: int, fmt: str, side: int) -> tuple:
+    """Deterministic side×side RGB gradient image encoded as the given
+    format — built ON EXECUTORS so the fixture itself parallelizes."""
+    import numpy as np
+
+    from dataverifyr_spark.operators.image import _encode_bmp24, encode_png, encode_ppm
+    from dataverifyr_spark.operators.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:side, 0:side]
+    # channel 2 is a splitmix-style per-pixel hash: without incompressible
+    # content PNG/JPEG blobs shrink to ~1 KB and MB/s measures zlib, not decode
+    idx = (np.uint64(i) * np.uint64(side * side) + (y * side + x).astype(np.uint64))
+    z = idx * np.uint64(0x9E3779B97F4A7C15)  # splitmix64 finalizer: the xor-
+    z ^= z >> np.uint64(30)                  # shifts break the per-row arith-
+    z *= np.uint64(0xBF58476D1CE4E5B9)       # metic progression a bare multiply
+    z ^= z >> np.uint64(27)                  # leaves (zlib crushed that to 3 KB)
+    noise = z & np.uint64(0xFF)
+    img = np.stack(
+        [(x + i) % 256, (y * 3 + i) % 256, noise.astype(np.int64)], axis=-1
+    ).astype(np.uint8)
+    if fmt == "ppm":
+        blob = encode_ppm(img)
+    elif fmt == "bmp":
+        blob = _encode_bmp24(img)
+    elif fmt == "png":
+        blob = encode_png(img, filter_type=1)
+    else:
+        blob = encode_jpeg(img, quality=85)
+    return (f"{fmt}-{i:06d}", bytearray(blob))
+
+
+def _run_decode_bench() -> None:
+    """Per-format still-image decode throughput (VERDICT r3 ask #2): puts a
+    NUMBER on the pure-numpy codec layer — above all the JPEG Python-Huffman
+    entropy walk, the engine's one perf-weak spot — as images/s and MB/s at
+    local[CPUS] through the real image_probe path.  Production swap point:
+    ``operators.image.register_decoder`` (see its docstring)."""
+    from dataverifyr_spark.operators.image import image_probe
+
+    n = int(os.environ.get("SPARK_GRAFT_DECODE_BENCH_N", "2000"))
+    side = int(os.environ.get("SPARK_GRAFT_DECODE_BENCH_SIDE", "64"))
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    per_format: dict[str, dict] = {}
+    for fmt in ("ppm", "bmp", "png", "jpeg"):
+        rdd = sc.parallelize(range(n), CPUS * 2).map(
+            lambda i, f=fmt: _decode_bench_row(i, f, side)
+        )
+        df = spark.createDataFrame(rdd, "media_id string, bytes binary").cache()
+        total_bytes = int(df.agg(F.sum(F.length("bytes"))).first()[0])
+
+        def run() -> int:
+            return image_probe(df).agg(
+                F.sum(F.when(F.col("img_valid"), 1).otherwise(0))
+            ).first()[0]
+
+        assert run() == n, f"{fmt}: probe reported invalid images"  # warm + verify
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        per_format[fmt] = {
+            "images_per_sec": round(n / best, 1),
+            "mb_per_sec": round(total_bytes / 1e6 / best, 2),
+            "avg_kb": round(total_bytes / n / 1024, 1),
+            "sec": round(best, 3),
+        }
+        df.unpersist()
+    print(
+        json.dumps(
+            {
+                "metric": "still_decode_throughput_per_format",
+                "value": per_format["jpeg"]["mb_per_sec"],
+                "unit": "MB/s (jpeg)",
+                "formats": per_format,
+                "n_images": n,
+                "side": side,
+                "cores": CPUS,
+                "swap_point": "dataverifyr_spark.operators.image.register_decoder",
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--decode-bench" in sys.argv:
+        _run_decode_bench()
+        return
     scaling = "--scaling" in sys.argv
     if scaling:
         _run_scaling()

@@ -43,6 +43,7 @@ __all__ = [
     "encode_png",
     "decode_png",
     "decode_image",
+    "register_decoder",
     "resize_nearest",
     "encode_y4m",
     "y4m_info",
@@ -151,32 +152,82 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR → RGB
 
 
-def decode_image(blob: bytes) -> np.ndarray:
-    """Decode any fully-supported still format (PPM, BMP, PNG) by magic
-    bytes, normalized to (h, w, 3) uint8 RGB (gray replicated, alpha
-    dropped).
+#: PRODUCTION CODEC SWAP POINT.  The built-in decoders are pure
+#: numpy/stdlib so this sandbox (no PIL/libjpeg/ffmpeg) stays
+#: dependency-free, but the JPEG entropy decode is a Python bit-walk
+#: (~MB/s/core vs libjpeg's ~100 MB/s/core — measured per-format numbers in
+#: BENCH.md §decode).  On a real cluster, install a codec-backed override
+#: ONCE per executor (e.g. in a module imported by --py-files):
+#:
+#:     from PIL import Image; import io, numpy as np
+#:     register_decoder("jpeg",
+#:         lambda b: np.asarray(Image.open(io.BytesIO(b)).convert("RGB")))
+#:
+#: Every probe (image_probe / mixed pipelines) routes through
+#: decode_image, so one register_decoder call swaps the hot path globally.
+_DECODER_OVERRIDES: dict[str, "object"] = {}
 
-    Raises ImageError for codec-needing formats (JPEG/H.264 — see
-    operators.multimodal.decode_image_stub for the documented stub)."""
+
+def _sniff_format(blob: bytes) -> str | None:
+    if blob[:2] == b"P6":
+        return "ppm"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:4] == b"\x89PNG":
+        return "png"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
+
+def register_decoder(fmt: str, fn) -> None:
+    """Install a replacement still-image decoder for ``fmt`` ("ppm", "bmp",
+    "png", "jpeg"): ``fn(blob: bytes) -> ndarray`` (h, w, c) uint8.  Pass
+    ``None`` to restore the built-in.  See the swap-point note above."""
+    if fmt not in ("ppm", "bmp", "png", "jpeg"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    if fn is None:
+        _DECODER_OVERRIDES.pop(fmt, None)
+    else:
+        _DECODER_OVERRIDES[fmt] = fn
+
+
+def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[2] == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[..., :3].copy() if arr.shape[2] == 4 else arr
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode any fully-supported still format (PPM, BMP, PNG, baseline
+    JPEG) by magic bytes, normalized to (h, w, 3) uint8 RGB (gray
+    replicated, alpha dropped).  Registered overrides (``register_decoder``)
+    take precedence over the built-in pure-numpy decoders.
+
+    Raises ImageError for codec-needing containers (H.264 — see
+    operators.multimodal for the probe-level handling)."""
     if blob is None or len(blob) < 2:
         raise ImageError("empty image blob")
-    if blob[:2] == b"P6":
+    fmt = _sniff_format(blob)
+    if fmt is None:
+        raise ImageError(
+            "unsupported container (PPM/BMP/PNG/baseline-JPEG decode natively; "
+            "H.264 and other video codecs need a codec library)"
+        )
+    override = _DECODER_OVERRIDES.get(fmt)
+    if override is not None:
+        return _normalize_rgb(np.asarray(override(blob), dtype=np.uint8))
+    if fmt == "ppm":
         return decode_ppm(blob)
-    if blob[:2] == b"BM":
+    if fmt == "bmp":
         return decode_bmp(blob)
-    if blob[:4] == b"\x89PNG":
-        arr = decode_png(blob)
-        if arr.shape[2] == 1:
-            return np.repeat(arr, 3, axis=2)
-        return arr[..., :3].copy() if arr.shape[2] == 4 else arr
-    if blob[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg  # local: jpeg.py imports ImageError from here
+    if fmt == "png":
+        return _normalize_rgb(decode_png(blob))
+    from .jpeg import decode_jpeg  # local: jpeg.py imports ImageError from here
 
-        return decode_jpeg(blob)
-    raise ImageError(
-        "unsupported container (PPM/BMP/PNG/baseline-JPEG decode natively; "
-        "H.264 and other video codecs need a codec library)"
-    )
+    return decode_jpeg(blob)
 
 
 def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -163,6 +163,43 @@ class TestImageProbe:
         assert by["not_black"] == (4, 0)
 
 
+class TestRegisterDecoder:
+    """The production codec swap point: an override installed for one format
+    must take the dispatch for that format only, normalize to 3-channel, and
+    be removable (None restores the built-in)."""
+
+    def test_override_dispatch_and_restore(self):
+        from dataverifyr_spark.operators.image import encode_ppm, register_decoder
+
+        img = _checker(4, 6)
+        blob = encode_ppm(img)
+        calls = []
+
+        def fake(b):
+            calls.append(len(b))
+            return np.full((2, 3), 7, dtype=np.uint8)  # gray — must replicate
+
+        register_decoder("ppm", fake)
+        try:
+            out = decode_image(blob)
+            assert calls == [len(blob)]
+            assert out.shape == (2, 3, 3) and (out == 7).all()
+            # other formats untouched by a ppm override
+            from dataverifyr_spark.operators.image import encode_png
+
+            assert decode_image(encode_png(img)).shape == img.shape
+        finally:
+            register_decoder("ppm", None)
+        assert np.array_equal(decode_image(blob), img)
+        assert not calls[1:]
+
+    def test_unknown_format_rejected(self):
+        from dataverifyr_spark.operators.image import register_decoder
+
+        with pytest.raises(ValueError, match="unknown image format"):
+            register_decoder("webp", lambda b: None)
+
+
 class TestMalformedContainers:
     """Malformed headers must raise ImageError (never ValueError or a numpy
     reshape crash), and the Spark probe must turn ANY decoder exception into
