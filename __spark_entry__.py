@@ -500,6 +500,26 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(video_probe(vids), rules).select(*_SUMMARY_COLS)
 
 
+def q_h264_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 container-level validation (operators/h264.py): Annex-B NAL walk,
+    SPS-derived resolution, frame/IDR counts from slice headers — zero pixel
+    decode — through the same video_probe → fused-check path as Y4M.  The
+    oracle recomputes the fixture's injection cadences (corrupt %13, short
+    %7, single-IDR %11) from generate_series, so the Spark side must hit the
+    counts through real NAL/SPS/Exp-Golomb parsing."""
+    from dataverifyr_spark.operators.h264 import h264_videos_table
+    from dataverifyr_spark.operators.image import video_probe
+
+    vids = h264_videos_table(spark, 500)
+    rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_n_idr >= 2", name="has_keyframes", allow_na=True),
+        dv.rule("vid_width >= 64 & vid_height >= 48", name="min_resolution", allow_na=True),
+    )
+    return dv.check_data(video_probe(vids), rules).select(*_SUMMARY_COLS)
+
+
 def q_lsh_pairs_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup: the documents table split into an
     existing CORPUS (even doc_id) and a NEW batch (odd doc_id);
@@ -675,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
         "stream_cumulative_events": q_stream_cumulative_events,
         "ledger_resume_lineitem": q_ledger_resume_lineitem,
+        "h264_validate": q_h264_validate,
     }
 
 
@@ -1061,6 +1082,28 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    h264_validate = """
+    WITH vflags AS (
+      SELECT i,
+             (i > 0 AND i % 13 = 0) AS corrupt,
+             (i > 0 AND i % 7 = 0) AS short,
+             (i > 0 AND i % 11 = 0) AS noidr
+      FROM (SELECT unnest(generate_series(0, 499)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            video_rule_row("decodes", "vid_valid", "FALSE", "NOT corrupt"),
+            video_rule_row("enough_frames", "vid_n_frames >= 5", "TRUE", "corrupt OR NOT short"),
+            video_rule_row(
+                "has_keyframes", "vid_n_idr >= 2", "TRUE",
+                "corrupt OR (NOT short AND NOT noidr)",
+            ),
+            video_rule_row(
+                "min_resolution", "vid_width >= 64 & vid_height >= 48", "TRUE", "TRUE"
+            ),
+        ]
+    )
+
     # mixed-format fixture: fmt itself is index-derived, so per-format group
     # membership AND per-group rule counts are pure index arithmetic
     image_formats = """
@@ -1220,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_pairs_documents": lsh_jaccard,
         "lsh_pairs_against_documents": lsh_pairs_against,
         "video_validate": video_validate,
+        "h264_validate": h264_validate,
         "stream_cumulative_events": """
     WITH f AS (
       SELECT CAST(event_id % 3 AS INTEGER) AS batch, event_type,

@@ -469,7 +469,8 @@ VIDEO_PROBE_SCHEMA = T.StructType(
         T.StructField("vid_width", T.IntegerType(), True),
         T.StructField("vid_height", T.IntegerType(), True),
         T.StructField("vid_n_frames", T.IntegerType(), True),
-        T.StructField("vid_mean_luma", T.DoubleType(), True),
+        T.StructField("vid_n_idr", T.IntegerType(), True),  # H.264 only
+        T.StructField("vid_mean_luma", T.DoubleType(), True),  # Y4M only
         T.StructField("vid_error", T.StringType(), True),
     ]
 )
@@ -481,13 +482,20 @@ def video_probe(
     bytes_col: str = "bytes",
     every_n: int = 2,
 ) -> DataFrame:
-    """Decode-once video feature probe (mapInPandas, partition-preserving).
+    """Decode-once video feature probe (mapInPandas, partition-preserving),
+    dispatching on container magic:
 
-    Frame stats come from SAMPLED frames only (every ``every_n``-th, located
-    by offset arithmetic) — on a multi-GB clip the probe touches 1/every_n of
-    the payload bytes; the frame COUNT is pure header math and touches none.
+    * Y4M — header math for (w, h, n_frames), luma stats from SAMPLED frames
+      only (every ``every_n``-th, located by offset arithmetic); on a
+      multi-GB clip the probe touches 1/every_n of the payload bytes.
+    * H.264 Annex-B — pure container walk (``operators.h264.h264_info``):
+      SPS resolution + frame/IDR counts from NAL + slice headers, zero pixel
+      decode, cost independent of payload size (``vid_mean_luma`` is NULL,
+      ``vid_n_idr`` is populated).
+
     Bad containers become (vid_valid=false, vid_error=...) rows, never
     exceptions — the same contract as image_probe."""
+    from .h264 import h264_info
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -497,15 +505,19 @@ def video_probe(
                     b = bytes(blob) if blob is not None else None
                     if b is None:
                         raise ImageError("NULL payload")
-                    w, h, n_frames, _ = y4m_info(b)
-                    sampled = y4m_sample_frames(b, every_n=every_n)
-                    luma = float(sampled.mean()) if sampled.size else None
-                    rows.append((str(mid), True, w, h, n_frames, luma, None))
+                    if b[:3] in (b"\x00\x00\x01", b"\x00\x00\x00"):
+                        w, h, n_frames, n_idr, _, _ = h264_info(b)
+                        rows.append((str(mid), True, w, h, n_frames, n_idr, None, None))
+                    else:
+                        w, h, n_frames, _ = y4m_info(b)
+                        sampled = y4m_sample_frames(b, every_n=every_n)
+                        luma = float(sampled.mean()) if sampled.size else None
+                        rows.append((str(mid), True, w, h, n_frames, None, luma, None))
                 except ImageError as exc:
-                    rows.append((str(mid), False, None, None, None, None, str(exc)))
+                    rows.append((str(mid), False, None, None, None, None, None, str(exc)))
                 except Exception as exc:  # noqa: BLE001 — never-exceptions contract
                     rows.append(
-                        (str(mid), False, None, None, None, None,
+                        (str(mid), False, None, None, None, None, None,
                          f"{type(exc).__name__}: {exc}")
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_PROBE_SCHEMA.fields])

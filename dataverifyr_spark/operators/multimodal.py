@@ -6,10 +6,12 @@ Fully-real decoders (pure numpy + stdlib zlib, no codec libraries):
 * still images PPM/BMP/PNG + video Y4M frame sampling — ``operators.image``
 * baseline JPEG — ``operators.jpeg`` (numpy DCT, Python Huffman layer)
 
-Only compressed VIDEO codecs (H.264 etc.), absent from this environment,
-remain stubbed below (``decode_image_stub`` keeps its name for backward
-compatibility as the generic codec-missing placeholder).
-Swapping the stub for a real codec changes only the inner function, not the
+Compressed video gets a REAL container-level probe — ``operators.h264``
+parses Annex-B NAL/SPS/slice headers for resolution + frame/IDR counts with
+no pixel decode (that's what validation needs; ``video_probe`` dispatches on
+magic).  Only PIXEL decode of compressed video remains a deterministic fake
+(``decode_image_stub``), because it needs a codec library this environment
+lacks; swapping it for a real codec changes only the inner function, not the
 plan shape — the Arrow batch iteration, schema contracts, and
 partition-preserving transforms here are real and tested either way.
 """
@@ -46,6 +48,8 @@ _MAGIC = {
 def _sniff(blob: bytes | None) -> str | None:
     if not blob:
         return None
+    if blob[:4] == b"\x00\x00\x00\x01" or blob[:3] == b"\x00\x00\x01":
+        return "h264-annexb"
     for magic, name in _MAGIC.items():
         if blob[: len(magic)] == magic:
             return name
@@ -53,11 +57,14 @@ def _sniff(blob: bytes | None) -> str | None:
 
 
 def decode_image_stub(blob: bytes, target_size: tuple[int, int] = (32, 32)) -> np.ndarray:
-    """STUB: real implementation needs an image codec (PIL/cv2, not in this
-    container).  Deterministic fake: hash-seeded pixels with the right shape
-    and dtype, so downstream shape/dtype contracts are fully exercised."""
+    """PIXEL-decode fake for compressed video codecs (container metadata is
+    real — ``operators.h264.h264_info``; stills are real —
+    ``operators.image.decode_image``).  Deterministic hash-seeded pixels with
+    the right shape/dtype so downstream contracts are fully exercised; a
+    production cluster swaps in PIL/cv2 via
+    ``operators.image.register_decoder`` without touching the plan shape."""
     if blob is None:
-        raise NotImplementedError("image decode requires a codec library")
+        raise ValueError("NULL blob (decode_image_stub)")
     seed = len(blob) % (2**31)
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(*target_size, 3), dtype=np.uint8)

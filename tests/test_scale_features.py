@@ -158,10 +158,17 @@ class TestMultimodal:
     def test_image_stub_raises_on_none(self):
         from dataverifyr_spark.operators.multimodal import decode_image_stub
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="NULL blob"):
             decode_image_stub(None)
         img = decode_image_stub(b"x" * 100)
         assert img.shape == (32, 32, 3)
+
+    def test_sniff_detects_annexb(self):
+        from dataverifyr_spark.operators.h264 import make_h264_stream
+        from dataverifyr_spark.operators.multimodal import _sniff
+
+        assert _sniff(make_h264_stream(64, 48, 3)) == "h264-annexb"
+        assert _sniff(b"\x00\x00\x01\x65abc") == "h264-annexb"
 
 
 class TestFreshness:
