@@ -529,6 +529,34 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(video_probe(vids), rules).select(*_SUMMARY_COLS)
 
 
+def q_describe_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PARTITION profiling (describe_by, the north_rule per-partition
+    shape for describe, symmetric with check_data_by): one
+    groupBy(codec).agg(fused stats) job over the deterministic clips fixture,
+    in-plan explode to (group, column) rows — no driver loop over groups.
+    The oracle reconstructs the SQL-derivable columns (codec cadence %29,
+    sr_hz: rate table i%4 with %17 lie, clip_id length 17) from
+    generate_series and recomputes every statistic."""
+    from dataverifyr_spark.audio.fixtures import clips_table
+    from dataverifyr_spark.describe import describe_by
+
+    clips = clips_table(spark, 2000)
+    prof = describe_by(clips.select("codec", "sr_hz", "clip_id"), by="codec")
+    return prof.select(
+        "codec",
+        "var",
+        "type",
+        "n",
+        "n_distinct",
+        "n_na",
+        F.round("min", 6).alias("min"),
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        F.round("max", 6).alias("max"),
+        F.round("sd", 6).alias("sd"),
+    )
+
+
 def q_h264_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H.264 container-level validation (operators/h264.py): Annex-B NAL walk,
     SPS-derived resolution, frame/IDR counts from slice headers — zero pixel
@@ -726,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_resume_lineitem": q_ledger_resume_lineitem,
         "h264_validate": q_h264_validate,
         "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
+        "describe_by_codec": q_describe_by_codec,
     }
 
 
@@ -1265,6 +1294,27 @@ def oracle_sql() -> dict[str, str]:
     FROM flags GROUP BY codec
     """
 
+    describe_by_codec = """
+    WITH src AS (
+      SELECT CASE WHEN i > 0 AND i % 29 = 0 THEN 'mp3_unknown' ELSE 'pcm_s16le' END AS codec,
+             CAST(CASE WHEN i > 0 AND i % 17 = 0 THEN 12345
+                       ELSE ([8000, 16000, 44100, 48000])[(i % 4) + 1] END AS DOUBLE) AS sr
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    SELECT codec, 'sr_hz' AS var, 'integer' AS type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT sr) AS BIGINT) AS n_distinct, CAST(0 AS BIGINT) AS n_na,
+           ROUND(MIN(sr), 6) AS min, ROUND(AVG(sr), 6) AS mean,
+           ROUND(quantile_cont(sr, 0.5), 6) AS median, ROUND(MAX(sr), 6) AS max,
+           ROUND(stddev_samp(sr), 6) AS sd
+    FROM src GROUP BY codec
+    UNION ALL
+    SELECT codec, 'clip_id', 'character', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(17 AS DOUBLE), CAST(17 AS DOUBLE), CAST(17 AS DOUBLE),
+           CAST(17 AS DOUBLE), CAST(0 AS DOUBLE)
+    FROM src GROUP BY codec
+    """
+
     check_by_event = """
     SELECT event_type, 'e1' AS name, 'value > 0' AS expr,
            CAST(COUNT(*) AS BIGINT) AS tests,
@@ -1415,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
                     ('set_c_mktsegment'), ('notnull_c_mktsegment')) AS r(name)
     """,
         "check_by_event_type": check_by_event,
+        "describe_by_codec": describe_by_codec,
         "violations_customer": violations,
         "reference_orders_customer": reference,
         "describe_customer": describe,

@@ -8,7 +8,7 @@ SURVEY.md for the full reference-parity map.
 """
 
 from .check import CheckDataError, check_data, check_data_by, reference_violations
-from .describe import describe
+from .describe import describe, describe_by
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
 from .io import read_rules, write_rules
@@ -47,6 +47,7 @@ __all__ = [
     "filter_fails",
     "fail_predicate",
     "describe",
+    "describe_by",
     "read_rules",
     "write_rules",
     "detect_backend",

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["describe", "DESCRIBE_SCHEMA"]
+__all__ = ["describe", "describe_by", "DESCRIBE_SCHEMA"]
 
 DESCRIBE_SCHEMA = T.StructType(
     [
@@ -205,6 +205,88 @@ def describe(
             )
         )
     return spark.createDataFrame(out_rows, DESCRIBE_SCHEMA)
+
+
+def describe_by(
+    df: DataFrame,
+    by: str | list[str],
+    approx: bool = False,
+    fast: bool = False,
+) -> DataFrame:
+    """Per-group ``describe`` — the north_rule per-partition shape applied to
+    profiling (the check analog is ``check_data_by``).  ONE
+    ``groupBy(by).agg(*fused stats)`` job computes every non-key column's
+    statistics for every group, then an in-plan explode unpivots to one row
+    per (group, column) — fully distributed, no driver-side loop over groups,
+    so a 10^6-partition profile is still a single shuffle.
+
+    Columns: ``by...`` + ``var, type, n, n_distinct, n_na, min, mean,
+    median, max, sd`` — the :func:`describe` schema minus ``most_frequent``
+    (a per-group mode needs a second keyed top-k pass; use
+    ``_most_frequent_fused`` semantics per slice if needed).  Value
+    semantics (string-length profiling, NA-counts-as-distinct, sample sd,
+    approx sketches) are identical to :func:`describe`.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    for c in by_cols:
+        if c not in df.columns:
+            raise ValueError(f"by column {c!r} not in DataFrame")
+    fields = [f for f in df.schema.fields if f.name not in by_cols]
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
+    for f in fields:
+        c, name = F.col(f.name), f.name
+        val = _value_expr(name, f.dataType)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
+        if not fast:
+            if approx:
+                aggs.append(F.approx_count_distinct(c).alias(f"nd__{name}"))
+                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
+            else:
+                aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
+                aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
+            aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
+        aggs.append(F.min(val).alias(f"min__{name}"))
+        aggs.append(F.mean(val).alias(f"mean__{name}"))
+        aggs.append(F.max(val).alias(f"max__{name}"))
+        aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
+
+    if fast or approx:
+        grouped = df.groupBy(*by_cols).agg(*aggs)
+    else:  # exact percentile needs named numeric-view columns
+        proj = df.select(
+            *df.columns,
+            *[_value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields],
+        )
+        grouped = proj.groupBy(*by_cols).agg(*aggs)
+
+    structs: list[Column] = []
+    for f in fields:
+        name = f.name
+        if fast:
+            nd = F.lit(None).cast("long")
+            med = F.lit(None).cast("double")
+        else:
+            # R n_distinct counts NA as one distinct value (R/describe.R:112)
+            nd = (F.col(f"nd__{name}") + F.col(f"anynull__{name}")).cast("long")
+            med = F.col(f"med__{name}").cast("double")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("var"),
+                F.lit(_friendly_type(f.dataType)).alias("type"),
+                F.col("n__").cast("long").alias("n"),
+                nd.alias("n_distinct"),
+                F.col(f"na__{name}").cast("long").alias("n_na"),
+                F.col(f"min__{name}").cast("double").alias("min"),
+                F.col(f"mean__{name}").cast("double").alias("mean"),
+                med.alias("median"),
+                F.col(f"max__{name}").cast("double").alias("max"),
+                F.col(f"sd__{name}").cast("double").alias("sd"),
+            )
+        )
+    return grouped.select(
+        *[F.col(c) for c in by_cols], F.explode(F.array(*structs)).alias("__s")
+    ).select(*by_cols, "__s.*")
 
 
 def _f(v) -> float | None:

@@ -155,6 +155,55 @@ class TestReferenceDescribeGoldens:
         assert d2["chr"] == "a (2)"
 
 
+class TestDescribeBy:
+    def test_matches_per_group_describe(self, spark, df):
+        """describe_by(g) row-for-row equals describe() run on each g-slice
+        (minus most_frequent) — the same contract check_data_by has vs
+        check_data."""
+        from dataverifyr_spark import describe_by
+
+        got = {
+            (r["g"], r["var"]): r.asDict()
+            for r in describe_by(df, by="g").collect()
+        }
+        stat_cols = ["type", "n", "n_distinct", "n_na", "min", "mean", "median", "max", "sd"]
+        for g in (10, 20):
+            ref = _by_var(describe(df.filter(f"g = {g}").drop("g"), top_n=0))
+            for var, exp in ref.items():
+                row = got[(g, var)]
+                for c in stat_cols:
+                    a, b = row[c], exp[c]
+                    if isinstance(a, float) and isinstance(b, float):
+                        assert a == pytest.approx(b), (g, var, c)
+                    else:
+                        assert a == b, (g, var, c)
+        assert len(got) == 2 * 3  # 2 groups x 3 non-key columns
+
+    def test_single_job_no_driver_loop(self, spark, df):
+        """The plan is ONE grouped aggregate + explode; adding groups adds no
+        jobs (the per-group describe() loop would run K jobs)."""
+        import contextlib
+        import io
+
+        from dataverifyr_spark import describe_by
+
+        plan_df = describe_by(df, by="g")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert phys.count("HashAggregate") <= 4  # partial+final (+percentile pair)
+
+    def test_fast_and_missing_by_col(self, spark, df):
+        from dataverifyr_spark import describe_by
+
+        res = describe_by(df, by="g", fast=True).collect()
+        assert all(r["n_distinct"] is None and r["median"] is None for r in res)
+        assert {r["n"] for r in res} == {2, 3}
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            describe_by(df, by="nope")
+
+
 class TestApproxPlanShape:
     def test_approx_profile_plans_no_expand(self, spark):
         """approx=True is the at-scale path: HLL distinct + percentile_approx
