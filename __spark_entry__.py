@@ -471,12 +471,27 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_suggest_rules_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule induction certified end-to-end: suggest_rules profiles customer
     (bounds for the 3 numerics, a value-set for the 5-value c_mktsegment,
-    not-null for every null-free column — 9 rules), then check_data applies
-    them back to the profiled table.  The oracle pins exactly WHICH rules
-    were induced and that every one self-passes (tests = rows, fail = 0)."""
+    not-null for every null-free column, and — given datasets — a DRAFT
+    reference_rule for the 25-value c_nationkey whose set is contained in
+    nation.n_nationkey), then check_data applies them back to the profiled
+    tables.  The oracle pins exactly WHICH rules were induced and that every
+    one self-passes (tests = rows, fail = 0)."""
     cust = _t(spark, sf_dir, "customer")
-    rs = dv.suggest_rules(cust)
-    return dv.check_data(cust, rs).select("name", "tests", "pass", "fail")
+    nat = _t(spark, sf_dir, "nation")
+    rs = dv.suggest_rules(cust, datasets={"nation": nat})
+    return dv.check_data({"customer": cust, "nation": nat}, rs).select(
+        "name", "tests", "pass", "fail"
+    )
+
+
+def q_suggest_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp induction: the events table's ts column yields a
+    ``fresh_ts`` lower-bound rule (new batches must not backfill records
+    older than the trusted slice's observed minimum), alongside the usual
+    bounds/set/not-null patterns — 11 rules, all self-passing."""
+    ev = _t(spark, sf_dir, "events")
+    rs = dv.suggest_rules(ev)
+    return dv.check_data(ev, rs).select("name", "tests", "pass", "fail")
 
 
 def q_schema_drift_lineitem_vs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_validate": q_h264_validate,
         "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
         "describe_by_codec": q_describe_by_codec,
+        "suggest_rules_events": q_suggest_rules_events,
     }
 
 
@@ -1460,9 +1476,19 @@ def oracle_sql() -> dict[str, str]:
     SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
     FROM n, (VALUES ('bounds_c_custkey'), ('notnull_c_custkey'),
                     ('notnull_c_name'),
-                    ('bounds_c_nationkey'), ('notnull_c_nationkey'),
+                    ('bounds_c_nationkey'), ('fk_c_nationkey'), ('notnull_c_nationkey'),
                     ('bounds_c_acctbal'), ('notnull_c_acctbal'),
                     ('set_c_mktsegment'), ('notnull_c_mktsegment')) AS r(name)
+    """,
+        "suggest_rules_events": """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM events)
+    SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
+    FROM n, (VALUES ('bounds_event_id'), ('notnull_event_id'),
+                    ('fresh_ts'), ('notnull_ts'),
+                    ('bounds_user_id'), ('notnull_user_id'),
+                    ('set_event_type'), ('notnull_event_type'),
+                    ('bounds_value'), ('notnull_value'),
+                    ('notnull_props')) AS r(name)
     """,
         "check_by_event_type": check_by_event,
         "describe_by_codec": describe_by_codec,

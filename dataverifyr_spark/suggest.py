@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .rules import Rule, Ruleset, rule, ruleset
+from .rules import Rule, Ruleset, reference_rule, rule, ruleset
 
 __all__ = ["suggest_rules"]
 
@@ -27,6 +27,8 @@ _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
 )
+_INTEGERISH = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_TEMPORAL = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
 
 def _fmt(v) -> str:
@@ -43,10 +45,19 @@ def _quote(v: str) -> str:
     return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _type_family(dt: T.DataType) -> str | None:
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, _INTEGERISH):
+        return "integer"
+    return None
+
+
 def suggest_rules(
     df: DataFrame,
     max_set_size: int = 20,
     include_null_rules: bool = True,
+    datasets: dict[str, DataFrame] | None = None,
 ) -> Ruleset:
     """One rule per evidentiary pattern in ``df``:
 
@@ -54,8 +65,20 @@ def suggest_rules(
       (``allow_na`` set when the profile saw NULLs)
     * string column with ≤ ``max_set_size`` distinct values →
       ``col %in% c(...)`` over the observed set
+    * timestamp/date column → ``col >= '<observed min>'`` (``fresh_col``:
+      new batches must not backfill records older than the trusted slice —
+      string literals compare via Spark's native timestamp coercion, so the
+      rule round-trips through YAML and the expr dialect)
     * column with zero observed NULLs → ``!is.na(col)`` (the contract that
       it stays that way), unless ``include_null_rules=False``
+    * with ``datasets={'name': ref_df, ...}``: low-cardinality string or
+      integer column whose observed value set is CONTAINED in some
+      same-type-family column of a provided table → a draft
+      :func:`reference_rule` (``fk_col``), checkable via
+      ``check_data({'df': df, 'name': ref_df}, rs)``.  Containment probes
+      are ONE aggregation per dataset (``collect_set`` of the ≤
+      ``max_set_size`` matching values per candidate column — no Expand, no
+      per-pair scans).
 
     The suggested rules are ordinary :class:`Rule` objects — print them,
     edit them, ``write_rules`` them to YAML, or ``check_data`` directly.
@@ -68,27 +91,35 @@ def suggest_rules(
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(c).alias(f"min__{f.name}"))
             aggs.append(F.max(c).alias(f"max__{f.name}"))
-        if isinstance(f.dataType, T.StringType):
+        if isinstance(f.dataType, _TEMPORAL):
+            aggs.append(F.min(c).alias(f"tmin__{f.name}"))
+        if _type_family(f.dataType) is not None:
             aggs.append(F.approx_count_distinct(c).alias(f"nd__{f.name}"))
     prof = df.agg(*aggs).collect()[0].asDict()
 
     # value sets only for columns the sketch says are small (2x slack for
-    # HLL error); ONE extra job collecting all small sets together
-    small_strs = [
+    # HLL error); ONE extra job collecting all small sets together.  Integer
+    # sets feed FK candidacy only (no %in% rules for numerics).
+    small_cols = [
         f.name
         for f in fields
-        if isinstance(f.dataType, T.StringType)
+        if _type_family(f.dataType) is not None
         and (prof.get(f"nd__{f.name}") or 0) <= max_set_size * 2
     ]
-    value_sets: dict[str, list[str]] = {}
-    if small_strs:
+    value_sets: dict[str, list] = {}
+    if small_cols:
         sets_row = df.agg(
-            *[F.collect_set(F.col(n)).alias(n) for n in small_strs]
+            *[F.collect_set(F.col(n)).alias(n) for n in small_cols]
         ).collect()[0]
-        for n in small_strs:
+        for n in small_cols:
             vals = sorted(sets_row[n])
-            if 0 < len(vals) <= max_set_size:
+            # FK candidacy keeps the 2x slack; %in% rules re-check the strict
+            # cap at emission (a 25-value FK key is fine, a 25-literal set
+            # rule is not)
+            if 0 < len(vals) <= max_set_size * 2:
                 value_sets[n] = vals
+
+    fk_targets = _fk_containment(df, fields, value_sets, datasets) if datasets else {}
 
     out: list[Rule] = []
     for f in fields:
@@ -104,13 +135,80 @@ def suggest_rules(
                         allow_na=n_na > 0,
                     )
                 )
-        if name in value_sets:
+        if isinstance(f.dataType, _TEMPORAL):
+            tmin = prof.get(f"tmin__{name}")
+            if tmin is not None:
+                out.append(
+                    rule(
+                        f"{name} >= '{tmin}'",
+                        name=f"fresh_{name}",
+                        allow_na=n_na > 0,
+                    )
+                )
+        if (
+            name in value_sets
+            and isinstance(f.dataType, T.StringType)
+            and len(value_sets[name]) <= max_set_size
+        ):
             quoted = ", ".join(_quote(v) for v in value_sets[name])
             out.append(
                 rule(f"{name} %in% c({quoted})", name=f"set_{name}", allow_na=n_na > 0)
+            )
+        if name in fk_targets:
+            ds_name, ref_col = fk_targets[name]
+            out.append(
+                reference_rule(
+                    name, ds_name, ref_col, name=f"fk_{name}", allow_na=n_na > 0
+                )
             )
         if include_null_rules and n_na == 0:
             out.append(rule(f"!is.na({name})", name=f"notnull_{name}"))
     if not out:
         raise ValueError("no suggestable patterns found (empty or all-NULL input)")
     return ruleset(*out)
+
+
+def _fk_containment(
+    df: DataFrame,
+    fields: list[T.StructField],
+    value_sets: dict[str, list],
+    datasets: dict[str, DataFrame],
+) -> dict[str, tuple[str, str]]:
+    """local col → (dataset, ref col) for the first reference column that
+    contains the local column's whole observed value set.  One aggregation
+    job per dataset: per candidate ref column, ``collect_set`` of its values
+    that hit ANY local set (bounded by the union of small sets), compared
+    driver-side — no Expand node, no per-pair scan."""
+    families = {f.name: _type_family(f.dataType) for f in fields}
+    locals_by_family: dict[str, list[str]] = {}
+    for n in value_sets:
+        fam = families.get(n)
+        if fam:
+            locals_by_family.setdefault(fam, []).append(n)
+    if not locals_by_family:
+        return {}
+
+    out: dict[str, tuple[str, str]] = {}
+    for ds_name, ref in datasets.items():
+        cand_cols = [
+            (rf.name, fam)
+            for rf in ref.schema.fields
+            if (fam := _type_family(rf.dataType)) in locals_by_family
+        ]
+        if not cand_cols:
+            continue
+        probes = []
+        for rc, fam in cand_cols:
+            union_vals = sorted({v for n in locals_by_family[fam] for v in value_sets[n]})
+            probes.append(
+                F.collect_set(
+                    F.when(F.col(rc).isin(union_vals), F.col(rc))
+                ).alias(f"hit__{rc}")
+            )
+        row = ref.agg(*probes).collect()[0].asDict()
+        for rc, fam in cand_cols:
+            hits = set(row[f"hit__{rc}"] or [])
+            for local in locals_by_family[fam]:
+                if local not in out and set(value_sets[local]) <= hits:
+                    out[local] = (ds_name, rc)
+    return out

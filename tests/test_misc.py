@@ -178,6 +178,59 @@ class TestSuggestRules:
             "set_who"
         ] == 1
 
+    def test_fk_candidate_induction_and_drift(self, spark):
+        """A low-cardinality column whose values ⊆ a provided table's column
+        becomes a draft reference_rule; a new batch with an unknown key then
+        fails exactly that rule."""
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.rules import ReferenceRule
+
+        src = spark.createDataFrame(
+            [(i, i % 3, f"u{i}") for i in range(30)], "id bigint, dept int, who string"
+        )
+        depts = spark.createDataFrame([(0,), (1,), (2,), (3,)], "dept_id int")
+        rs = dv.suggest_rules(src, datasets={"depts": depts})
+        fk = [r for r in rs if isinstance(r, ReferenceRule)]
+        assert [r.name for r in fk] == ["fk_dept"]
+        assert (fk[0].ref_dataset, fk[0].ref_col) == ("depts", "dept_id")
+        ok = {r["name"]: r for r in dv.check_data({"src": src, "depts": depts}, rs).collect()}
+        assert ok["fk_dept"]["fail"] == 0 and not ok["fk_dept"]["error"]
+        drift = spark.createDataFrame([(99, 7, "u99")], "id bigint, dept int, who string")
+        bad = {r["name"]: r for r in dv.check_data({"src": drift, "depts": depts}, rs).collect()}
+        assert bad["fk_dept"]["fail"] == 1
+
+    def test_fk_not_induced_without_containment(self, spark):
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.rules import ReferenceRule
+
+        src = spark.createDataFrame([(i, i % 5) for i in range(20)], "id bigint, k int")
+        ref = spark.createDataFrame([(0,), (1,)], "k2 int")  # misses 2,3,4
+        rs = dv.suggest_rules(src, datasets={"ref": ref})
+        assert not [r for r in rs if isinstance(r, ReferenceRule)]
+
+    def test_fresh_rule_induction_and_drift(self, spark):
+        """Temporal columns induce a lower-bound fresh_ rule that self-passes
+        and catches a stale backfill batch."""
+        import datetime as dt
+
+        import dataverifyr_spark as dv
+
+        base = dt.datetime(2025, 3, 1, 12, 0, 0)
+        src = spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=i)) for i in range(10)],
+            "id bigint, ts timestamp",
+        )
+        rs = dv.suggest_rules(src)
+        names = [r.name for r in rs]
+        assert "fresh_ts" in names
+        res = {r["name"]: r for r in dv.check_data(src, rs).collect()}
+        assert res["fresh_ts"]["fail"] == 0 and not res["fresh_ts"]["error"]
+        stale = spark.createDataFrame(
+            [(99, base - dt.timedelta(days=2))], "id bigint, ts timestamp"
+        )
+        sres = {r["name"]: r for r in dv.check_data(stale, rs).collect()}
+        assert sres["fresh_ts"]["fail"] == 1
+
     def test_high_cardinality_strings_get_no_set_rule(self, spark):
         import dataverifyr_spark as dv
 
