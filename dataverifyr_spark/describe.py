@@ -105,7 +105,7 @@ def describe(
     top_n: int = 3,
     fast: bool = False,
     approx: bool = False,
-    fused_topk: bool = False,
+    fused_topk: bool | None = None,
 ) -> DataFrame:
     """Profile every column of ``df`` in one fused aggregation scan.
 
@@ -114,6 +114,10 @@ def describe(
     wide-table scale path (K columns: 1 scan instead of K).  Tie-break is by
     the value's string form there (the per-column default breaks ties on the
     typed value); counts and formatting are otherwise identical.
+    ``fused_topk=None`` (default) resolves to ``approx``: the at-scale
+    profile runs exactly TWO jobs total — the sketch aggregate plus the one
+    fused top-k pass — regardless of column count, while the exact
+    reference-parity path keeps the per-column top-k (typed tie-break).
 
     COST WARNING — exact mode (``approx=False``, the default) packs K
     ``count_distinct`` + K exact ``percentile`` aggregates into one job:
@@ -127,6 +131,8 @@ def describe(
     """
     spark = df.sparkSession
     fields = list(df.schema.fields)
+    if fused_topk is None:
+        fused_topk = approx
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
     for f in fields:

@@ -112,6 +112,23 @@ class TestFusedTopK:
         b = {r["var"]: r["most_frequent"] for r in describe(df, top_n=2, fused_topk=True).collect()}
         assert a == b
 
+    def test_approx_defaults_to_fused(self, spark, df, monkeypatch):
+        """describe(approx=True) must NOT fall back to the K per-column
+        top-k jobs — the at-scale path is sketch agg + ONE fused pass."""
+        import importlib
+
+        d = importlib.import_module("dataverifyr_spark.describe")
+
+        def boom(*a, **k):
+            raise AssertionError("per-column top-k ran under approx=True")
+
+        monkeypatch.setattr(d, "_most_frequent", boom)
+        res = {r["var"]: r["most_frequent"] for r in d.describe(df, approx=True).collect()}
+        assert res["s"]  # populated through the fused pass
+        # explicit override still honored
+        with pytest.raises(Exception, match="per-column top-k"):
+            d.describe(df, approx=True, fused_topk=False).collect()
+
 
 class TestReferenceDescribeGoldens:
     """Pinned from the reference's own assertions (test-describe.R:130-143,
