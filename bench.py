@@ -187,6 +187,29 @@ def bench_queries(
         lambda: dv.check_data(video_probe(vids), video_rules).collect(),
     )
 
+    # H.264 container probe (round 4): NAL/SPS header walk, no pixel decode —
+    # cost per clip is O(NAL count), independent of payload bytes
+    from dataverifyr_spark.operators.h264 import h264_videos_table
+
+    h264 = h264_videos_table(spark, N_VIDEOS, num_partitions=parts).cache()
+    h264.count()
+    h264_rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_n_idr >= 2", name="has_keyframes", allow_na=True),
+    )
+    run(
+        "video_validate_h264",
+        lambda: dv.check_data(video_probe(h264), h264_rules).collect(),
+    )
+
+    # per-partition profiling (round 4): ONE groupBy(key).agg(fused stats)
+    # job for every group x column, in-plan unpivot, no driver loop
+    run(
+        "describe_by_returnflag",
+        lambda: dv.describe_by(li, by="l_returnflag", approx=True).collect(),
+    )
+
     # warmup sweep (JIT + codegen compile + cache touch), then ROUNDS
     # interleaved timed sweeps; per-query best + spread
     for _, fn in queries:
@@ -205,6 +228,7 @@ def bench_queries(
 
     clips.unpersist()
     vids.unpersist()
+    h264.unpersist()
     return timings, spreads, n_rows
 
 

@@ -415,7 +415,8 @@ def check_data(
     # no explicit column-pruning select: Catalyst prunes the scan (parquet
     # ReadSchema / InMemoryTableScan) to the union of referenced columns on
     # its own, and an extra select only adds an analysis pass (measured 1.7x
-    # slower on cached inputs)
+    # slower — on CACHED inputs, where analysis overhead dominates; on cold
+    # parquet the select is merely redundant, Catalyst prunes either way)
     scan_df = df
 
     t0 = _time.perf_counter()

@@ -105,6 +105,23 @@ assert "BroadcastNestedLoopJoin" not in vplan, vplan
 assert "BroadcastHashJoin" in vplan, vplan
 sections.append(("Vs-reference audio (broadcast clip_id join -> ONE dual-decode ArrowEvalPython -> fused agg)", vplan))
 
+# round 4: describe_by — ONE grouped aggregate + in-plan explode unpivot; a
+# K-group profile must not plan K jobs or a driver loop
+prof = dv.describe_by(li.select("l_returnflag", "l_quantity", "l_tax"), by="l_returnflag")
+dplan = cap(prof)
+assert "HashAggregate" in dplan and "Generate" in dplan, dplan
+sections.append(("describe_by per-partition profile (one groupBy agg, explode unpivot in-plan — no per-group jobs)", dplan))
+
+# round 4: H.264 container probe — one ArrowEvalPython (header walk), fused agg
+from dataverifyr_spark.operators.h264 import h264_videos_table
+from dataverifyr_spark.operators.image import video_probe
+h264 = h264_videos_table(spark, 50)
+h264_rules = dv.ruleset(dv.rule("vid_valid"), dv.rule("vid_n_idr >= 2", allow_na=True))
+hpreds = [compile_rule_predicate(r).column for r in h264_rules]
+hplan = cap(video_probe(h264).agg(*[F.sum(F.when(p,1).otherwise(0)).alias(f"p{i}") for i,p in enumerate(hpreds)]))
+assert hplan.count("MapInPandas") == 2  # tree + detail of ONE Arrow-batched node
+sections.append(("H.264 container-probe fused check (one NAL-walk MapInPandas, zero pixel decode)", hplan))
+
 with open("/root/repo/EXPLAIN.md","w") as f:
     f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
     f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
