@@ -362,16 +362,25 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
 
     segs = _entropy_segments(blob, pos)
     seg_i = 0
-    sb = _SegBits(segs[0])
     pred = [0] * ncomp
     mcu_count = 0
+    # bit-cursor INLINED as locals (the _SegBits shape, flattened): local
+    # integer ops beat bound-method + attribute access ~1.5x in this loop.
+    # ONE refill per symbol tops the window up to >= 27 bits (16 code + 11
+    # max magnitude), so code lookup AND magnitude extraction share a single
+    # buffered read — the buffer holds <= 34 bits (Python int, masked).
+    d = segs[0]
+    dn = len(d)
+    dpos = buf = bits = over = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 seg_i += 1
                 if seg_i >= len(segs):
                     raise ImageError("JPEG restart segment missing")
-                sb = _SegBits(segs[seg_i])
+                d = segs[seg_i]
+                dn = len(d)
+                dpos = buf = bits = over = 0
                 pred = [0] * ncomp
             for ci, c in enumerate(comps):
                 dsym, dlen, asym, alen = tabs[ci]
@@ -380,24 +389,46 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                 for by in range(cv):
                     for bx in range(ch):
                         row = coefs[ci][(my * cv + by) * width + (mx * ch + bx)]
-                        v16 = sb.peek16()
+                        while bits < 27:  # refill; zero-pads past stream end
+                            if dpos < dn:
+                                buf = ((buf << 8) | d[dpos]) & 0x3FFFFFFFF
+                                dpos += 1
+                            else:
+                                buf = (buf << 8) & 0x3FFFFFFFF
+                                over += 1
+                                if over > 8:
+                                    raise ImageError("JPEG entropy data exhausted")
+                            bits += 8
+                        v16 = (buf >> (bits - 16)) & 0xFFFF
                         ln = dlen[v16]
                         if ln == 0:
                             raise ImageError("invalid JPEG Huffman code")
-                        sb.bits -= ln
+                        bits -= ln
                         t = dsym[v16]
                         if t:
                             if t > 15:  # T.81 F.1.2.1.1: DC category 0..11; >15 would overflow int32 coefs
                                 raise ImageError("invalid JPEG DC category")
-                            pred[ci] += _extend(sb.get(t), t)
+                            bits -= t
+                            v = (buf >> bits) & ((1 << t) - 1)
+                            pred[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
                         row[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            v16 = sb.peek16()
+                            while bits < 27:
+                                if dpos < dn:
+                                    buf = ((buf << 8) | d[dpos]) & 0x3FFFFFFFF
+                                    dpos += 1
+                                else:
+                                    buf = (buf << 8) & 0x3FFFFFFFF
+                                    over += 1
+                                    if over > 8:
+                                        raise ImageError("JPEG entropy data exhausted")
+                                bits += 8
+                            v16 = (buf >> (bits - 16)) & 0xFFFF
                             ln = alen[v16]
                             if ln == 0:
                                 raise ImageError("invalid JPEG Huffman code")
-                            sb.bits -= ln
+                            bits -= ln
                             rs = asym[v16]
                             s = rs & 0xF
                             if s == 0:
@@ -410,7 +441,9 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                                 raise ImageError("JPEG AC run overflows block")
                             if s > 10:  # T.81 F.1.2.2.1: baseline AC category 1..10
                                 raise ImageError("invalid JPEG AC category")
-                            row[k] = _extend(sb.get(s), s)
+                            bits -= s
+                            v = (buf >> bits) & ((1 << s) - 1)
+                            row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                             k += 1
             mcu_count += 1
 
