@@ -690,6 +690,87 @@ def q_stream_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_to_ledger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→ledger bridge (validate_stream_to_ledger): events
+    replayed as 3 deterministic micro-batches through foreachBatch, each
+    batch validated per-partition (event_type) by the BATCH engine and
+    appended to the ValidationLedger keyed (run-batch, partition).  The
+    returned rollup — one row per (event_type, rule) summed across batches —
+    must equal the plain static group-by oracle, proving the bridge loses no
+    batch and double-counts none."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from dataverifyr_spark.ledger import ValidationLedger
+    from dataverifyr_spark.streaming import validate_stream_to_ledger
+
+    rules = dv.ruleset(
+        dv.rule("value <= 100", name="v_low"),
+        dv.rule("value > 400", name="v_not_extreme", negate=True),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).cast("int").alias("batch"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="dvfy_s2l_gate_")
+    try:
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        staged = []
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                ev.filter(F.col("batch") == b)
+                .select("event_type", "value")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            staged.append(glob.glob(os.path.join(stage, "part-*.parquet"))[0])
+        sdf = spark.readStream.schema("event_type string, value double").parquet(indir)
+        ledger_path = os.path.join(root, "ledger")
+        q = validate_stream_to_ledger(
+            sdf, rules, "event_type", ledger_path, os.path.join(root, "ckpt"),
+            run_id="gate",
+        ).start()
+        try:
+            for b in range(3):
+                shutil.copy(staged[b], os.path.join(indir, f"b{b}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        led = ValidationLedger(spark, ledger_path)
+        runs = (
+            led._read()
+            .select("run_id")
+            .distinct()
+            .filter(F.col("run_id").startswith("gate-b"))
+            .collect()
+        )
+        from functools import reduce
+
+        rolled = reduce(
+            lambda a, b: a.unionByName(b),
+            [led.results(r["run_id"]) for r in runs],
+        )
+        rows = [
+            (r["part_key"], r["name"], r["tests"], r["pass"], r["fail"])
+            for r in rolled.groupBy("part_key", "name")
+            .agg(
+                _F.sum("tests").alias("tests"),
+                _F.sum("pass").alias("pass"),
+                _F.sum("fail").alias("fail"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
 def q_ledger_resume_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kill-and-resume through the ValidationLedger (ledger.py): phase 1
     "crashes" after committing only partition 'A'; phase 2 resumes with a
@@ -771,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
         "describe_by_codec": q_describe_by_codec,
         "suggest_rules_events": q_suggest_rules_events,
+        "stream_to_ledger_events": q_stream_to_ledger_events,
     }
 
 
@@ -1400,6 +1482,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT batch, event_type, 'v_low' AS name, tests, c0 AS "pass", tests - c0 AS fail FROM cum
     UNION ALL
     SELECT batch, event_type, 'v_not_extreme' AS name, tests, c1 AS "pass", tests - c1 AS fail FROM cum
+    """,
+        "stream_to_ledger_events": """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value <= 100 THEN 1 ELSE 0 END AS p0,
+             CASE WHEN NOT (value > 400) THEN 1 ELSE 0 END AS p1
+      FROM events
+    )
+    SELECT event_type, 'v_low' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p0) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p0) AS BIGINT) AS fail
+    FROM base GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'v_not_extreme' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p1) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p1) AS BIGINT) AS fail
+    FROM base GROUP BY event_type
     """,
         "ledger_resume_lineitem": """
     WITH base AS (
