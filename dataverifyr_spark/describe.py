@@ -87,6 +87,44 @@ def _value_expr(name: str, dt: T.DataType) -> Column:
     return F.length(c.cast("string")).cast("double")
 
 
+def _stat_aggs(fields: list[T.StructField], fast: bool, approx: bool) -> list[Column]:
+    """The fused per-column statistics aggregates shared by :func:`describe`
+    and :func:`describe_by` — ONE source of truth for the R-parity semantics
+    (NA counts as a distinct value via the anynull flag, sample sd, string-
+    length value view) and the approx sketch choices."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
+    for f in fields:
+        c, name = F.col(f.name), f.name
+        val = _value_expr(name, f.dataType)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
+        if not fast:
+            if approx:
+                aggs.append(F.approx_count_distinct(c).alias(f"nd__{name}"))
+            else:
+                aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
+            aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
+            if approx:
+                # accuracy=100 ⇒ ~1% rank error, fine for a profile median;
+                # the default (10000) measured 14x the cost of the entire
+                # rest of the profile combined
+                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
+            else:
+                aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
+        aggs.append(F.min(val).alias(f"min__{name}"))
+        aggs.append(F.mean(val).alias(f"mean__{name}"))
+        aggs.append(F.max(val).alias(f"max__{name}"))
+        aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
+    return aggs
+
+
+def _with_exact_vals(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+    """Exact percentile needs NAMED numeric-view columns — materialize them."""
+    return df.select(
+        *df.columns,
+        *[_value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields],
+    )
+
+
 def _fmt_value(v, digits: int) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
@@ -134,38 +172,12 @@ def describe(
     if fused_topk is None:
         fused_topk = approx
 
-    aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
-    for f in fields:
-        c, name = F.col(f.name), f.name
-        val = _value_expr(name, f.dataType)
-        aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
-        if not fast:
-            if approx:
-                aggs.append(F.approx_count_distinct(c).alias(f"nd__{name}"))
-            else:
-                aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
-            aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
-            if approx:
-                # accuracy=100 ⇒ ~1% rank error, fine for a profile median;
-                # the default (10000) measured 14x the cost of the entire
-                # rest of the profile combined
-                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
-            else:
-                aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
-        aggs.append(F.min(val).alias(f"min__{name}"))
-        aggs.append(F.mean(val).alias(f"mean__{name}"))
-        aggs.append(F.max(val).alias(f"max__{name}"))
-        aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
-
+    aggs = _stat_aggs(fields, fast, approx)
     if fast or approx:
         # sketch path: no exact percentile, no projection needed
         row = df.agg(*aggs).collect()[0].asDict()
     else:
-        # exact percentile needs a named column, so materialize the numeric views
-        proj = [F.col(f.name) for f in fields] + [
-            _value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields
-        ]
-        row = df.select(*proj).agg(*aggs).collect()[0].asDict()
+        row = _with_exact_vals(df, fields).agg(*aggs).collect()[0].asDict()
     n = int(row["n__"])
 
     fused_mf: dict[str, str] = {}
@@ -239,32 +251,11 @@ def describe_by(
             raise ValueError(f"by column {c!r} not in DataFrame")
     fields = [f for f in df.schema.fields if f.name not in by_cols]
 
-    aggs: list[Column] = [F.count(F.lit(1)).alias("n__")]
-    for f in fields:
-        c, name = F.col(f.name), f.name
-        val = _value_expr(name, f.dataType)
-        aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
-        if not fast:
-            if approx:
-                aggs.append(F.approx_count_distinct(c).alias(f"nd__{name}"))
-                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
-            else:
-                aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
-                aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
-            aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
-        aggs.append(F.min(val).alias(f"min__{name}"))
-        aggs.append(F.mean(val).alias(f"mean__{name}"))
-        aggs.append(F.max(val).alias(f"max__{name}"))
-        aggs.append(F.stddev_samp(val).alias(f"sd__{name}"))
-
+    aggs = _stat_aggs(fields, fast, approx)
     if fast or approx:
         grouped = df.groupBy(*by_cols).agg(*aggs)
-    else:  # exact percentile needs named numeric-view columns
-        proj = df.select(
-            *df.columns,
-            *[_value_expr(f.name, f.dataType).alias(f"__val_{f.name}") for f in fields],
-        )
-        grouped = proj.groupBy(*by_cols).agg(*aggs)
+    else:
+        grouped = _with_exact_vals(df, fields).groupBy(*by_cols).agg(*aggs)
 
     structs: list[Column] = []
     for f in fields:

@@ -195,9 +195,13 @@ def register_decoder(fmt: str, fn) -> None:
 def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
     if arr.ndim == 2:
         arr = arr[..., None]
+    if arr.ndim != 3 or arr.shape[2] == 0:
+        raise ImageError(f"decoder returned unsupported shape {arr.shape}")
     if arr.shape[2] == 1:
         return np.repeat(arr, 3, axis=2)
-    return arr[..., :3].copy() if arr.shape[2] == 4 else arr
+    if arr.shape[2] == 2:  # luma + alpha (e.g. a PIL 'LA' override): drop alpha
+        return np.repeat(arr[..., :1], 3, axis=2)
+    return arr[..., :3].copy() if arr.shape[2] > 3 else arr
 
 
 def decode_image(blob: bytes) -> np.ndarray:

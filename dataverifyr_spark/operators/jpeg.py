@@ -198,53 +198,6 @@ def _entropy_segments(blob: bytes, pos: int) -> list[bytes]:
         return segs
 
 
-class _SegBits:
-    """MSB-first bit cursor over one pre-unstuffed entropy segment.  Reads
-    past the end yield zero bytes (the encoder pads the last byte with 1s);
-    more than a few pad bytes means the stream was truncated."""
-
-    __slots__ = ("d", "n", "pos", "buf", "bits", "over")
-
-    def __init__(self, d: bytes):
-        self.d = d
-        self.n = len(d)
-        self.pos = 0
-        self.buf = 0
-        self.bits = 0
-        self.over = 0
-
-    def _need(self, k: int) -> None:
-        while self.bits < k:
-            if self.pos < self.n:
-                b = self.d[self.pos]
-                self.pos += 1
-            else:
-                b = 0
-                self.over += 1
-                if self.over > 8:
-                    raise ImageError("JPEG entropy data exhausted")
-            self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
-            self.bits += 8
-
-    def peek16(self) -> int:
-        if self.bits < 16:
-            self._need(16)
-        return (self.buf >> (self.bits - 16)) & 0xFFFF
-
-    def get(self, k: int) -> int:
-        if k == 0:
-            return 0
-        if self.bits < k:
-            self._need(k)
-        self.bits -= k
-        return (self.buf >> self.bits) & ((1 << k) - 1)
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.12: map t-bit magnitude to signed value."""
-    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -364,7 +317,7 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
     seg_i = 0
     pred = [0] * ncomp
     mcu_count = 0
-    # bit-cursor INLINED as locals (the _SegBits shape, flattened): local
+    # bit-cursor INLINED as plain locals: local
     # integer ops beat bound-method + attribute access ~1.5x in this loop.
     # ONE refill per symbol tops the window up to >= 27 bits (16 code + 11
     # max magnitude), so code lookup AND magnitude extraction share a single
@@ -406,7 +359,9 @@ def _decode_scan(blob, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                         bits -= ln
                         t = dsym[v16]
                         if t:
-                            if t > 15:  # T.81 F.1.2.1.1: DC category 0..11; >15 would overflow int32 coefs
+                            if t > 11:  # T.81 F.1.2.1.1: DC category 0..11
+                                # (also: the 27-bit prefetch only guarantees
+                                # 11 magnitude bits after a 16-bit code)
                                 raise ImageError("invalid JPEG DC category")
                             bits -= t
                             v = (buf >> bits) & ((1 << t) - 1)

@@ -188,6 +188,10 @@ def _fk_containment(
     if not locals_by_family:
         return {}
 
+    union_by_family = {
+        fam: sorted({v for n in names for v in value_sets[n]})
+        for fam, names in locals_by_family.items()
+    }
     out: dict[str, tuple[str, str]] = {}
     for ds_name, ref in datasets.items():
         cand_cols = [
@@ -197,14 +201,12 @@ def _fk_containment(
         ]
         if not cand_cols:
             continue
-        probes = []
-        for rc, fam in cand_cols:
-            union_vals = sorted({v for n in locals_by_family[fam] for v in value_sets[n]})
-            probes.append(
-                F.collect_set(
-                    F.when(F.col(rc).isin(union_vals), F.col(rc))
-                ).alias(f"hit__{rc}")
-            )
+        probes = [
+            F.collect_set(
+                F.when(F.col(rc).isin(union_by_family[fam]), F.col(rc))
+            ).alias(f"hit__{rc}")
+            for rc, fam in cand_cols
+        ]
         row = ref.agg(*probes).collect()[0].asDict()
         for rc, fam in cand_cols:
             hits = set(row[f"hit__{rc}"] or [])

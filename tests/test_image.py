@@ -199,6 +199,21 @@ class TestRegisterDecoder:
         with pytest.raises(ValueError, match="unknown image format"):
             register_decoder("webp", lambda b: None)
 
+    def test_override_two_channel_la_normalized(self):
+        """r4 self-review: a PIL-style 'LA' (luma+alpha) override result must
+        normalize to (h, w, 3) — alpha dropped, luma replicated — not leak a
+        2-channel array through decode_image's RGB contract."""
+        from dataverifyr_spark.operators.image import encode_ppm, register_decoder
+
+        blob = encode_ppm(_checker(2, 2))
+        la = np.dstack([np.full((2, 3), 9, np.uint8), np.full((2, 3), 255, np.uint8)])
+        register_decoder("ppm", lambda b: la)
+        try:
+            out = decode_image(blob)
+        finally:
+            register_decoder("ppm", None)
+        assert out.shape == (2, 3, 3) and (out == 9).all()
+
 
 class TestMalformedContainers:
     """Malformed headers must raise ImageError (never ValueError or a numpy

@@ -113,6 +113,15 @@ class TestMalformed:
         with pytest.raises(ImageError, match="DC category|Huffman"):
             decode_jpeg(blob)
 
+    @pytest.mark.parametrize("sym", [12, 13, 15])
+    def test_dc_category_12_to_15_is_image_error(self, sym):
+        """r4 self-review: spec bound is 11 — symbols 12..15 must raise
+        ImageError too, not underflow the 27-bit prefetch window into a raw
+        ValueError('negative shift count')."""
+        blob = self._patch_dht_symbols(encode_jpeg(_smooth(16, 16)), 0, sym)
+        with pytest.raises(ImageError, match="DC category|Huffman"):
+            decode_jpeg(blob)
+
     def test_ac_category_over_10_is_image_error(self):
         blob = self._patch_dht_symbols(encode_jpeg(_smooth(16, 16)), 1, 0x0F)
         with pytest.raises(ImageError, match="AC category|Huffman"):
