@@ -211,6 +211,21 @@ class TestDescribeBy:
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert phys.count("HashAggregate") <= 4  # partial+final (+percentile pair)
 
+    def test_approx_plans_no_expand(self, spark, df):
+        """describe_by(approx=True) is the at-scale per-partition profile:
+        HLL + percentile_approx must fuse into one grouped aggregate with NO
+        Expand node (exact mode replicates rows once per distinct agg)."""
+        import contextlib
+        import io
+
+        from dataverifyr_spark import describe_by
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            describe_by(df, by="g", approx=True).explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "Expand" not in phys, phys
+
     def test_fast_and_missing_by_col(self, spark, df):
         from dataverifyr_spark import describe_by
 

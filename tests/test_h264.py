@@ -195,3 +195,26 @@ class TestVideoProbeDispatch:
     def test_pps_parses(self):
         r = _BitReader(_write_pps())
         assert r.ue() == 0 and r.ue() == 0  # pps_id, sps_id wired to SPS 0
+
+
+class TestByteFlipFuzz:
+    def test_single_byte_flips_never_raise_non_image_error(self):
+        """The probe contract: any corrupted container either still parses or
+        raises ImageError — never ValueError/IndexError/struct.error — so
+        video_probe's error-row path holds for arbitrary corruption."""
+        blob = bytearray(make_h264_stream(64, 48, 5, idr_every=2))
+        for i in range(0, len(blob), 3):  # every 3rd byte, all 8 bit flips at once
+            mutated = bytes(blob[:i]) + bytes([blob[i] ^ 0xFF]) + bytes(blob[i + 1 :])
+            try:
+                h264_info(mutated)
+            except ImageError:
+                pass  # the contract
+            # any other exception type propagates and fails the test
+
+    def test_truncations_never_raise_non_image_error(self):
+        blob = make_h264_stream(96, 64, 4)
+        for cut in range(0, len(blob), 7):
+            try:
+                h264_info(blob[:cut])
+            except ImageError:
+                pass
