@@ -206,6 +206,70 @@ class TestCumulativeState:
             seq = sorted(r["tests"] for r in rows if (r["source"], r["name"]) == k)
             assert seq == sorted(set(seq)) or len(seq) >= 1
 
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """North-rule resume: stop the stateful query after 2 batches, start
+        a NEW query from the SAME checkpoint, feed a 3rd batch — the
+        recovered state must continue the per-key counters, not restart
+        from zero."""
+        import shutil
+
+        from dataverifyr_spark.streaming import check_stream_cumulative
+
+        indir = tmp_path / "in"
+        indir.mkdir()
+        ckpt = str(tmp_path / "ckpt_restart")
+
+        def write_batch(b, lo, hi):
+            stage = tmp_path / f"stage{b}"
+            spark.createDataFrame(
+                [(f"s{i % 2}", float(i)) for i in range(lo, hi)],
+                "source string, value double",
+            ).coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            shutil.copy(part, indir / f"b{b}.parquet")
+
+        captured: list = []
+
+        def start_query():
+            # memory sink cannot recover from a checkpoint; foreachBatch can
+            sdf = spark.readStream.schema("source string, value double").parquet(
+                str(indir)
+            )
+            out = check_stream_cumulative(sdf, RULES, by="source")
+            return (
+                out.writeStream.foreachBatch(
+                    lambda bdf, bid: captured.extend(bdf.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start_query()
+        try:
+            write_batch(0, 0, 40)
+            write_batch(1, 40, 100)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # process restart: a fresh query object, same checkpoint
+        q2 = start_query()
+        try:
+            write_batch(2, 100, 160)
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        final = {}
+        for r in captured:
+            k = (r["source"], r["name"])
+            if k not in final or r["tests"] > final[k]["tests"]:
+                final[k] = r
+        # 160 rows total, 80 per key — counters CONTINUED across the restart
+        for src in ("s0", "s1"):
+            assert final[(src, "nonneg")]["tests"] == 80, final
+            assert final[(src, "nonneg")]["pass"] == 80  # all values >= 0
+            assert final[(src, "src_ok")]["tests"] == 80
+
     def test_reference_rule_rejected(self, spark, stream_input):
         from dataverifyr_spark import reference_rule
         from dataverifyr_spark.streaming import check_stream_cumulative
