@@ -182,6 +182,43 @@ def q_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN SEARCH path oracled end-to-end (operators/ivf.py): with FIXED
+    deterministic centroids (the vectors of vec_id 1..8 — no k-means
+    training, so DuckDB can replicate), assign every vector to its nearest
+    centroid (argmin squared distance, first-min tie-break), probe the 3
+    centroids nearest the query, and return the exact cosine top-10 within
+    the probed inverted lists.  The oracle recomputes assignment + probe +
+    ranking with window functions over the same fixed centroids."""
+    from dataverifyr_spark.operators.ivf import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in rows]
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    indexed = ivf_index(emb.filter(F.col("vec_id") > 0), centroids)
+    top = ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (operators/similarity.py lsh_topk): the
+    query's 4-bit sign bucket restricts the exact cosine scan to one bucket.
+    The oracle re-derives every vector's bucket from the SAME deterministic
+    hyperplanes (hash-seeded, no RNG state — emitted into the SQL as
+    literals) and ranks within the query's bucket."""
+    from dataverifyr_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = lsh_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, bits=4, seed=42)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift: PSI of l_extendedprice (full table) vs a baseline
     snapshot (returnflag='A' slice) over a 20-bin histogram."""
@@ -853,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_by_codec": q_describe_by_codec,
         "suggest_rules_events": q_suggest_rules_events,
         "stream_to_ledger_events": q_stream_to_ledger_events,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
     }
 
 
@@ -1012,6 +1051,65 @@ def oracle_sql() -> dict[str, str]:
     FROM embeddings, q
     WHERE vec_id > 0
     ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+    ivf_topk_sql = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+    cents AS (SELECT vec_id - 1 AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+    scored AS (
+      SELECT a.vec_id, a.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)
+                        + list_dot_product(c.cv, c.cv) ASC, c.cid ASC
+             ) AS rn
+      FROM e a CROSS JOIN cents c
+      WHERE a.vec_id > 0
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM cents, q
+      ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(cv, qe)
+               + list_dot_product(qe, qe) ASC, cid ASC
+      LIMIT 3
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qe)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qe, q.qe))),
+                 4) AS cosine_sim
+    FROM assigned a, q
+    WHERE a.cid IN (SELECT cid FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """
+
+    from dataverifyr_spark.operators.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 4, 42)
+    _plane_rows = ", ".join(
+        "(" + str(b) + ", [" + ", ".join(repr(v) for v in p) + "])"
+        for b, p in enumerate(_planes)
+    )
+    lsh_topk_sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {_plane_rows}) p(b, pl)),
+    buck AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.pl) >= 0
+                           THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id
+    ),
+    q AS (SELECT e.v AS qe, b.bucket AS qbucket
+          FROM e JOIN buck b USING (vec_id) WHERE e.vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.v, q.qe)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qe, q.qe))),
+                 4) AS cosine_sim
+    FROM e JOIN buck b USING (vec_id), q
+    WHERE e.vec_id > 0 AND b.bucket = q.qbucket
+    ORDER BY cosine_sim DESC, e.vec_id ASC
     LIMIT 10
     """
 
@@ -1600,4 +1698,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": quality,
         "lang_scores_documents": lang_scores,
         "topk_embeddings": topk,
+        "ivf_topk_embeddings": ivf_topk_sql,
+        "lsh_topk_embeddings": lsh_topk_sql,
     }
