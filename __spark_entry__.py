@@ -808,6 +808,67 @@ def q_stream_to_ledger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed streaming validation (check_stream): events
+    replayed as 3 deterministic micro-batches; the per-event-time-hour rule
+    summary (complete-mode final snapshot, state = one row per open window ×
+    rule) must equal a static hourly GROUP BY — the oracle buckets
+    epoch(ts) to the same hour grid."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.streaming import check_stream
+
+    rules = dv.ruleset(
+        dv.rule("value <= 100", name="v_low"),
+        dv.rule("value > 400", name="v_not_extreme", negate=True),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).cast("int").alias("batch"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="dvfy_swin_gate_")
+    try:
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        staged = []
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            ev.filter(F.col("batch") == b).select("ts", "value").coalesce(1).write.parquet(stage)
+            staged.append(glob.glob(os.path.join(stage, "part-*.parquet"))[0])
+        sdf = spark.readStream.schema("ts timestamp, value double").parquet(indir)
+        out = check_stream(sdf, rules, time_col="ts", window="1 hour", watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dvfy_swin_gate")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            for b in range(3):
+                shutil.copy(staged[b], os.path.join(indir, f"b{b}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        snap = spark.table("dvfy_swin_gate").select(
+            F.col("window_start").cast("double").alias("hour_epoch"),
+            "name",
+            "tests",
+            "pass",
+            "fail",
+        )
+        rows = [tuple(r) for r in snap.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.dropTempView("dvfy_swin_gate")
+    return spark.createDataFrame(
+        rows, "hour_epoch double, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
 def q_ledger_resume_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kill-and-resume through the ValidationLedger (ledger.py): phase 1
     "crashes" after committing only partition 'A'; phase 2 resumes with a
@@ -892,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_to_ledger_events": q_stream_to_ledger_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "stream_windowed_events": q_stream_windowed_events,
     }
 
 
@@ -1580,6 +1642,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT batch, event_type, 'v_low' AS name, tests, c0 AS "pass", tests - c0 AS fail FROM cum
     UNION ALL
     SELECT batch, event_type, 'v_not_extreme' AS name, tests, c1 AS "pass", tests - c1 AS fail FROM cum
+    """,
+        "stream_windowed_events": """
+    WITH base AS (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS DOUBLE) AS hour_epoch,
+             CASE WHEN value <= 100 THEN 1 ELSE 0 END AS p0,
+             CASE WHEN NOT (value > 400) THEN 1 ELSE 0 END AS p1
+      FROM events
+    )
+    SELECT hour_epoch, 'v_low' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p0) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p0) AS BIGINT) AS fail
+    FROM base GROUP BY hour_epoch
+    UNION ALL
+    SELECT hour_epoch, 'v_not_extreme' AS name, CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(p1) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(p1) AS BIGINT) AS fail
+    FROM base GROUP BY hour_epoch
     """,
         "stream_to_ledger_events": """
     WITH base AS (
