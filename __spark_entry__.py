@@ -229,6 +229,23 @@ def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_check(li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20, threshold=0.2)
 
 
+def q_drift_psi_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED drift (the r3 ADVICE-fixed path, drift.py _aligned): one global
+    baseline snapshot expanded across every key's buckets, per-key PSI + KS
+    in one scan.  The oracle replicates the key×bucket expansion (cross join
+    of distinct keys with the baseline histogram) and the per-key CDF-gap
+    window — missing buckets must read as frac 0 under the RIGHT key, never
+    leak into a NULL-key group."""
+    from dataverifyr_spark.operators.drift import drift_check, histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    baseline = histogram(li.filter("l_returnflag = 'A'"), "l_extendedprice", 0.0, 110000.0, 20)
+    return drift_check(
+        li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20,
+        by="l_returnflag", threshold=0.2,
+    )
+
+
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ a jittered copy of every vector (vec_id + 100000).
 
@@ -954,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "stream_windowed_events": q_stream_windowed_events,
+        "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
     }
 
 
@@ -1204,6 +1222,44 @@ def oracle_sql() -> dict[str, str]:
            ROUND(MAX(gap), 6) AS ks,
            SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))) > 0.2 AS drifted
     FROM gaps
+    """
+
+    drift_by = """
+    WITH cur AS (
+      SELECT l_returnflag AS k,
+             CASE WHEN l_extendedprice IS NULL THEN -1
+                  ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5500.0) AS INT), 0), 19) END AS bucket,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), curf AS (
+      SELECT k, bucket, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY k) AS cur_frac FROM cur
+    ), base AS (
+      SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+                  ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5500.0) AS INT), 0), 19) END AS bucket,
+             COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), basef AS (
+      SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM base) AS base_frac FROM base
+    ), expanded AS (
+      SELECT keys.k, basef.bucket, basef.base_frac
+      FROM (SELECT DISTINCT l_returnflag AS k FROM lineitem) keys CROSS JOIN basef
+    ), j AS (
+      SELECT COALESCE(curf.k, expanded.k) AS k,
+             COALESCE(curf.bucket, expanded.bucket) AS bucket,
+             COALESCE(cur_frac, 0.0) AS cf, COALESCE(base_frac, 0.0) AS bf
+      FROM curf FULL OUTER JOIN expanded
+        ON curf.k = expanded.k AND curf.bucket = expanded.bucket
+    ), gaps AS (
+      SELECT k, cf, bf,
+             ABS(SUM(cf) OVER (PARTITION BY k ORDER BY bucket)
+                 - SUM(bf) OVER (PARTITION BY k ORDER BY bucket)) AS gap
+      FROM j
+    )
+    SELECT k AS l_returnflag,
+           ROUND(SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))), 6) AS psi,
+           ROUND(MAX(gap), 6) AS ks,
+           SUM((cf - bf) * LN((cf + 1e-6) / (bf + 1e-6))) > 0.2 AS drifted
+    FROM gaps GROUP BY k
     """
 
     # brute-force oracle over the same derived (orig ∪ jittered-dup) table the
@@ -1615,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY event_type
     """,
         "drift_psi_lineitem": drift,
+        "drift_psi_by_returnflag": drift_by,
         "near_dup_pairs_embeddings": near_dup,
         "near_dup_pairs_embeddings_udf": near_dup_udf,
         "lsh_jaccard_pairs_documents": lsh_jaccard,
