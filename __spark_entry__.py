@@ -229,6 +229,24 @@ def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_check(li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20, threshold=0.2)
 
 
+def q_topk_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k join (similarity.topk_join, exact broadcast mode): 5
+    query vectors against the rest of the corpus in ONE job — per-query
+    top-5 via a window over the broadcast cross join.  Oracle: DuckDB
+    QUALIFY row_number per query over the same cosine ranking."""
+    from dataverifyr_spark.operators.similarity import topk_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    top = topk_join(corpus, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
 def q_drift_psi_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED drift (the r3 ADVICE-fixed path, drift.py _aligned): one global
     baseline snapshot expanded across every key's buckets, per-key PSI + KS
@@ -972,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
+        "topk_join_embeddings": q_topk_join_embeddings,
     }
 
 
@@ -1834,6 +1853,21 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": quality,
         "lang_scores_documents": lang_scores,
         "topk_embeddings": topk,
+        "topk_join_embeddings": """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               c.vec_id ASC) AS rn
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim FROM scored WHERE rn <= 5
+    """,
         "ivf_topk_embeddings": ivf_topk_sql,
         "lsh_topk_embeddings": lsh_topk_sql,
     }
