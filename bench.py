@@ -471,6 +471,9 @@ def main() -> None:
                 "validated_videos_per_sec": round(
                     N_VIDEOS / timings["video_validate_y4m"], 1
                 ),
+                "validated_h264_containers_per_sec": round(
+                    N_VIDEOS / timings["video_validate_h264"], 1
+                ),
                 "n_videos": N_VIDEOS,
             }
         )
