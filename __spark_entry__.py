@@ -229,6 +229,30 @@ def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_check(li, "l_extendedprice", baseline, 0.0, 110000.0, bins=20, threshold=0.2)
 
 
+def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/pq.py) oracled end-to-end:
+    FIXED codebooks (subspace slices of vec_id 1..16 — no k-means, so DuckDB
+    replicates), every corpus vector PQ-encoded (per-subspace argmin,
+    first-min tie-break), then the top-10 by ADC distance — m table lookups
+    per row, no vector math in the scan.  The oracle recomputes assignment
+    AND the LUT sum from the same fixed codebooks with window functions."""
+    from dataverifyr_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 16)).orderBy("vec_id").collect()
+    m, sub = 8, 8
+    books = [
+        [[float(v) for v in r["embedding"][j * sub : (j + 1) * sub]] for r in cents]
+        for j in range(m)
+    ]
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    enc = pq_encode(emb.filter(F.col("vec_id") > 16), books)
+    top = pq_adc_topk(enc, books, qvec, k=10)
+    return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def q_topk_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch top-k join (similarity.topk_join, exact broadcast mode): 5
     query vectors against the rest of the corpus in ONE job — per-query
@@ -991,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
         "topk_join_embeddings": q_topk_join_embeddings,
+        "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
     }
 
 
@@ -1867,6 +1892,38 @@ def oracle_sql() -> dict[str, str]:
       FROM c CROSS JOIN q
     )
     SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim FROM scored WHERE rn <= 5
+    """,
+        "pq_adc_topk_embeddings": """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cents AS (SELECT vec_id - 1 AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 16),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+    assigned AS (
+      SELECT a.vec_id, s.j, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id, s.j
+               ORDER BY
+                 list_dot_product(list_slice(a.v, s.j*8+1, s.j*8+8), list_slice(a.v, s.j*8+1, s.j*8+8))
+                 - 2 * list_dot_product(list_slice(a.v, s.j*8+1, s.j*8+8), list_slice(c.cv, s.j*8+1, s.j*8+8))
+                 + list_dot_product(list_slice(c.cv, s.j*8+1, s.j*8+8), list_slice(c.cv, s.j*8+1, s.j*8+8)) ASC,
+                 c.cid ASC
+             ) AS rn
+      FROM e a CROSS JOIN subs s CROSS JOIN cents c
+      WHERE a.vec_id > 16
+    ),
+    codes AS (SELECT vec_id, j, cid FROM assigned WHERE rn = 1),
+    adc AS (
+      SELECT codes.vec_id,
+             SUM(
+               list_dot_product(list_slice(q.qv, codes.j*8+1, codes.j*8+8), list_slice(q.qv, codes.j*8+1, codes.j*8+8))
+               - 2 * list_dot_product(list_slice(q.qv, codes.j*8+1, codes.j*8+8), list_slice(c.cv, codes.j*8+1, codes.j*8+8))
+               + list_dot_product(list_slice(c.cv, codes.j*8+1, codes.j*8+8), list_slice(c.cv, codes.j*8+1, codes.j*8+8))
+             ) AS dist
+      FROM codes JOIN cents c ON c.cid = codes.cid, q
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, ROUND(dist, 6) AS adc_dist
+    FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10
     """,
         "ivf_topk_embeddings": ivf_topk_sql,
         "lsh_topk_embeddings": lsh_topk_sql,
