@@ -794,3 +794,27 @@ class TestProductQuantization:
             pq_train(vec_df, dim=16, m=5)
         with pytest.raises(ValueError, match="query dim"):
             adc_lut([[[0.0, 0.0]]], [1.0, 2.0, 3.0])
+
+    def test_ivf_pq_composition(self, spark, vec_df):
+        """The IVF-PQ layout: coarse-quantize into inverted lists, PQ-score
+        ONLY inside the probed lists — the twin must still surface."""
+        from dataverifyr_spark.operators.ivf import ivf_index, kmeans_fit
+        from dataverifyr_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+        corpus = vec_df.filter("vec_id < 100")
+        coarse = kmeans_fit(corpus, k=4, dim=16, iters=2)
+        books = pq_train(corpus, dim=16, m=4, k=8, iters=2)
+        indexed = pq_encode(ivf_index(corpus, coarse), books)
+        q = [float(v) for v in vec_df.filter("vec_id = 100").head()["embedding"]]
+        # probe the 2 nearest coarse cells, ADC-score their lists only
+        dists = [
+            (i, sum((a - b) ** 2 for a, b in zip(q, c))) for i, c in enumerate(coarse)
+        ]
+        probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:2]]
+        from pyspark.sql import functions as F
+
+        top = pq_adc_topk(indexed.filter(F.col("cluster").isin(probe)), books, q, k=3)
+        rows = top.collect()
+        assert rows[0]["vec_id"] == 5  # jitter source of the query
+        # scan pruned: the scored frame needs only (id, cluster, code)
+        assert set(top.columns) == {"vec_id", "adc_dist"}

@@ -122,6 +122,19 @@ hplan = cap(video_probe(h264).agg(*[F.sum(F.when(p,1).otherwise(0)).alias(f"p{i}
 assert hplan.count("MapInPandas") == 2  # tree + detail of ONE Arrow-batched node
 sections.append(("H.264 container-probe fused check (one NAL-walk MapInPandas, zero pixel decode)", hplan))
 
+# round 4: PQ ADC scan — m element_at lookups into ONE literal LUT, ranked by
+# TakeOrderedAndProject; no vector column read, no shuffle of payloads
+from dataverifyr_spark.operators.pq import pq_adc_topk, pq_encode
+pq_books = [[[float((i*7+j*3+s) % 5 - 2) for s in range(8)] for i in range(16)] for j in range(8)]
+pq_enc = pq_encode(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")), pq_books)
+pq_plan = cap(pq_adc_topk(pq_enc, pq_books, [0.1]*64, k=10))
+assert "TakeOrderedAndProject" in pq_plan, pq_plan
+pq_tree = pq_plan.split("\n\n(1)")[0] + (
+    "\n\n[node details elided: the projection inlines the 8x16 ADC lookup "
+    "table and per-subspace codebook literals; asserted TakeOrderedAndProject]\n"
+)
+sections.append(("PQ ADC top-k (codes + literal LUT only — no vector math in the scan, per-partition top-k merge)", pq_tree))
+
 with open("/root/repo/EXPLAIN.md","w") as f:
     f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
     f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
