@@ -87,6 +87,58 @@ class TestKitchenSink:
         assert led.pending_partitions(clips, "sr_hz", "ks").count() == 0
 
 
+class TestPipelineJourney:
+    def test_trusted_slice_to_induced_contract(self, spark, clips):
+        """The full training-data loop the engine exists for: profile a
+        TRUSTED slice → induce a contract (bounds + value set + FK draft) →
+        check the raw feed → the failures are exactly the injected
+        violations; per-codec profile via describe_by on the same pass."""
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.audio.fixtures import allowed_codecs
+
+        # trusted slice: rows that pass the baseline payload checks
+        idx = F.substring("clip_id", 6, 12).cast("int")
+        trusted = clips.filter(
+            ((idx % 17) != 0) & ((idx % 29) != 0) & ((idx % 41) != 0)
+            & ((idx % 31) != 0) & ((idx % 37) != 0)
+        ).select("sr_hz", "dur_ms", "codec")
+        rates = spark.createDataFrame(
+            [(8000,), (16000,), (44100,), (48000,)], "rate_hz int"
+        )
+        rs = dv.suggest_rules(
+            trusted, datasets={"codecs": allowed_codecs(spark), "rates": rates}
+        )
+        names = [r.name for r in rs]
+        assert "bounds_sr_hz" in names and "set_codec" in names
+        assert "fk_codec" in names and "fk_sr_hz" in names
+
+        res = {
+            r["name"]: r
+            for r in dv.check_data(
+                {"clips": clips.select("sr_hz", "dur_ms", "codec"),
+                 "codecs": allowed_codecs(spark), "rates": rates},
+                rs,
+            ).collect()
+        }
+        bad = lambda k: len([i for i in range(1, N) if i % k == 0])
+        # the induced contract catches exactly the injected drift
+        assert res["set_codec"]["fail"] == bad(29)
+        assert res["fk_codec"]["fail"] == bad(29)
+        # the sr lie (12345) sits INSIDE the observed numeric range — bounds
+        # alone can't see it; the induced FK vs the rates table does.  This
+        # is the reason FK induction exists.
+        assert res["bounds_sr_hz"]["fail"] == 0
+        assert res["fk_sr_hz"]["fail"] == bad(17)
+        assert all(not r["error"] for r in res.values())
+
+        # per-codec profile of the same feed: one grouped job
+        prof = dv.describe_by(clips.select("codec", "sr_hz"), by="codec").collect()
+        rows = {(r["codec"], r["var"]): r for r in prof}
+        assert rows[("mp3_unknown", "sr_hz")]["n"] == bad(29)
+        assert rows[("pcm_s16le", "sr_hz")]["n"] == N - bad(29)
+
+
 class TestDriverContract:
     def test_every_oracle_key_has_a_query(self):
         """Guards the driver contract: oracle_sql() keys ⊆ queries() keys,
