@@ -465,6 +465,30 @@ def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_audio_spectral_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio invariants (round 4): ``audio_dom_freq`` /
+    ``audio_spec_centroid`` run one rfft inside the SAME shared single-decode
+    probe as the other bytes-family dialect functions.  The fixture waveform
+    is 0.45·sin(f1∈[100,250)) + 0.25·sin(f2) + 1% noise, so every decodable
+    clip's dominant peak must land in [95, 260] Hz and its centroid (pulled
+    up by f2 + broadband noise) must exceed the dominant — a wrong FFT fails
+    en masse, while the oracle's expected failure count is exactly the
+    corrupt-bytes cadence (%41)."""
+    from dataverifyr_spark.audio import clips_table
+
+    clips = clips_table(spark, 2000)
+    rules = dv.ruleset(
+        dv.rule(
+            "audio_dom_freq(bytes) >= 95 & audio_dom_freq(bytes) <= 260",
+            name="dom_in_band",
+        ),
+        dv.rule(
+            "audio_spec_centroid(bytes) > audio_dom_freq(bytes)", name="centroid_above"
+        ),
+    )
+    return dv.check_data(clips, rules).select(*_SUMMARY_COLS)
+
+
 def q_audio_validate_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-PARTITION audio validation — the north_rule flagship shape: one
     groupBy(codec).agg computes every rule's conditional sum per partition
@@ -1016,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
         "topk_join_embeddings": q_topk_join_embeddings,
         "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
+        "audio_spectral_validate": q_audio_spectral_validate,
     }
 
 
@@ -1799,6 +1824,27 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
+        "audio_spectral_validate": """
+    WITH flags AS (
+      SELECT i, (i > 0 AND i % 41 = 0) AS corrupt
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    SELECT 'row_rule' AS check_type, 'dom_in_band' AS name,
+           'audio_dom_freq(bytes) >= 95 & audio_dom_freq(bytes) <= 260' AS expr,
+           FALSE AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM flags
+    UNION ALL
+    SELECT 'row_rule', 'centroid_above',
+           'audio_spec_centroid(bytes) > audio_dom_freq(bytes)',
+           FALSE, FALSE,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    """,
         "audio_validate_by_codec": audio_by_codec,
         "audio_violations": audio_violations,
         "audio_validate_vs_reference": audio,

@@ -12,6 +12,8 @@ Registered dialect functions (usable directly in rule exprs):
     audio_sr(bytes)                        -> int     (header rate)
     audio_dur_ms(bytes)                    -> double  (decoded duration)
     audio_rms(bytes)                       -> double
+    audio_dom_freq(bytes)                  -> double  (rfft non-DC peak, Hz)
+    audio_spec_centroid(bytes)             -> double  (magnitude-weighted Hz)
     audio_snr_vs_expected(clip_id, bytes)  -> double  (vs regenerated waveform)
     transcript_matches_expected(clip_id, transcript) -> boolean
 
@@ -81,15 +83,32 @@ def _transcript_matches_expected_impl(clip_ids: pd.Series, transcripts: pd.Serie
     return pd.Series([f(c, t) for c, t in zip(clip_ids, transcripts)], dtype="object")
 
 
+def _spectral(x: np.ndarray, sr: int) -> tuple[float, float]:
+    """(dominant_freq_hz, spectral_centroid_hz) via one rfft — dominant =
+    the non-DC magnitude peak, centroid = magnitude-weighted mean frequency.
+    For the fixture waveform (0.45·sin f1 + 0.25·sin f2 + noise) the
+    dominant recovers f1 to within one bin — a spectral per-row invariant a
+    decode-only probe cannot fake."""
+    mag = np.abs(np.fft.rfft(x))
+    if len(mag) < 2:
+        return 0.0, 0.0
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+    dom = float(freqs[1 + int(np.argmax(mag[1:]))])
+    wsum = float(mag[1:].sum())
+    centroid = float((freqs[1:] * mag[1:]).sum() / wsum) if wsum > 0 else 0.0
+    return dom, centroid
+
+
 def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     """All bytes-derived features from ONE decode per clip (the shared probe
     every bytes-family dialect function compiles onto)."""
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms")}
+    keys = ("valid", "n_samples", "sr", "dur_ms", "rms", "dom_freq_hz", "spec_centroid_hz")
+    out = {k: [] for k in keys}
     for b in blobs:
         d = _decode(b)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms"):
+            for k in keys[1:]:
                 out[k].append(None)
             continue
         samples, sr = d
@@ -100,12 +119,20 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
         if len(samples):
             x = samples.astype(np.float64) / 32768.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))))
+            dom, cent = _spectral(x, sr)
+            out["dom_freq_hz"].append(dom)
+            out["spec_centroid_hz"].append(cent)
         else:
             out["rms"].append(None)
+            out["dom_freq_hz"].append(None)
+            out["spec_centroid_hz"].append(None)
     return pd.DataFrame(out)
 
 
-_BYTES_PROBE_TYPE = "valid boolean, n_samples bigint, sr int, dur_ms double, rms double"
+_BYTES_PROBE_TYPE = (
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
+    "dom_freq_hz double, spec_centroid_hz double"
+)
 
 # bytes-family dialect functions are FIELDS of the shared probe: every
 # occurrence compiles to the structurally-identical probe(bytes) expression,
@@ -118,6 +145,8 @@ _PROBE_FIELDS = {
     "audio_sr": "sr",
     "audio_dur_ms": "dur_ms",
     "audio_rms": "rms",
+    "audio_dom_freq": "dom_freq_hz",
+    "audio_spec_centroid": "spec_centroid_hz",
 }
 
 # name -> (plain impl, return DDL type, arity); pandas_udf wrapping is lazy

@@ -360,3 +360,55 @@ class TestBucketedVsJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS clips_bkt")
             spark.sql("DROP TABLE IF EXISTS expected_bkt")
+
+
+class TestSpectralFeatures:
+    """audio_dom_freq / audio_spec_centroid: one rfft inside the shared
+    bytes probe.  The fixture's waveform is 0.45·sin(f1) + 0.25·sin(f2) +
+    1% noise with f1 ∈ [100, 250) — the dominant peak must recover f1 to
+    within one frequency bin for EVERY valid clip."""
+
+    def test_dominant_recovers_f1(self, spark, clips):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.audio.fixtures import _rng, clip_index
+        from dataverifyr_spark.expr import compile_expr
+
+        dom = compile_expr("audio_dom_freq(bytes)").column
+        rows = clips.filter(
+            F.substring("clip_id", 6, 12).cast("int") % 41 != 0
+        ).select("clip_id", dom.alias("dom"), (F.length("bytes") / 2 / 44100).alias("_")).collect()
+        assert rows
+        for r in rows:
+            i = clip_index(r["clip_id"])
+            f1 = 100.0 + 150.0 * _rng(i, 1)
+            # bin resolution = sr / n_samples; duration >= 200 ms => <= 5 Hz
+            assert r["dom"] is not None
+            assert abs(r["dom"] - f1) <= 6.0, (i, f1, r["dom"])
+
+    def test_centroid_above_dominant_and_corrupt_null(self, spark, clips):
+        import dataverifyr_spark as dv
+
+        res = {
+            r["name"]: r
+            for r in dv.check_data(
+                clips,
+                dv.ruleset(
+                    dv.rule(
+                        "audio_dom_freq(bytes) >= 95 & audio_dom_freq(bytes) <= 260",
+                        name="dom_in_band",
+                    ),
+                    dv.rule(
+                        "audio_spec_centroid(bytes) > audio_dom_freq(bytes)",
+                        name="centroid_above",
+                    ),
+                ),
+            ).collect()
+        }
+        n = clips.count()
+        corrupt = len([i for i in range(1, n) if i % 41 == 0])
+        # NULL (undecodable) -> fail without allow_na; every valid clip passes
+        assert res["dom_in_band"]["fail"] == corrupt
+        assert res["centroid_above"]["fail"] == corrupt
