@@ -489,6 +489,27 @@ def q_audio_spectral_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(clips, rules).select(*_SUMMARY_COLS)
 
 
+def q_audio_segments_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-level long-audio validation (audio/segments.py): each clip
+    windows into 1 s segments inside one Arrow decode pass; per-segment rms
+    + rfft dominant frequency must track the fixture's per-segment tone
+    (200 + 50·s Hz).  A clip-level aggregate cannot see a silenced minute —
+    this gate proves the windowing, the per-window FFT, and the corrupt-row
+    contract (one seg_valid=false row per undecodable clip) against the
+    cadence oracle (corrupt %13, silenced segment %5, nseg = 3 + i%3)."""
+    from dataverifyr_spark.audio.segments import audio_segments, long_clips_table
+
+    segs = audio_segments(long_clips_table(spark, 300), window_ms=1000)
+    rules = dv.ruleset(
+        dv.rule("seg_valid", name="decodes"),
+        dv.rule("seg_rms > 0.001", name="nonsilent"),
+        dv.rule(
+            "seg_dom_freq_hz >= 150 & seg_dom_freq_hz <= 460", name="freq_tracks_tone"
+        ),
+    )
+    return dv.check_data(segs, rules).select(*_SUMMARY_COLS)
+
+
 def q_audio_validate_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-PARTITION audio validation — the north_rule flagship shape: one
     groupBy(codec).agg computes every rule's conditional sum per partition
@@ -1041,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_join_embeddings": q_topk_join_embeddings,
         "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
         "audio_spectral_validate": q_audio_spectral_validate,
+        "audio_segments_validate": q_audio_segments_validate,
     }
 
 
@@ -1844,6 +1866,29 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(*) - SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
     FROM flags
+    """,
+        "audio_segments_validate": """
+    WITH clips AS (
+      SELECT i, 3 + i % 3 AS nseg,
+             (i > 0 AND i % 13 = 0) AS corrupt,
+             (i > 0 AND i % 5 = 0) AS silent
+      FROM (SELECT unnest(generate_series(0, 299)) AS i)
+    ), counts AS (
+      SELECT CAST(SUM(CASE WHEN corrupt THEN 1 ELSE nseg END) AS BIGINT) AS tests,
+             CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             CAST(SUM(CASE WHEN NOT corrupt AND silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      FROM clips
+    )
+    SELECT 'row_rule' AS check_type, 'decodes' AS name, 'seg_valid' AS expr,
+           FALSE AS allow_na, FALSE AS negate,
+           tests, tests - n_corrupt AS "pass", n_corrupt AS fail FROM counts
+    UNION ALL
+    SELECT 'row_rule', 'nonsilent', 'seg_rms > 0.001', FALSE, FALSE,
+           tests, tests - n_corrupt - n_silent, n_corrupt + n_silent FROM counts
+    UNION ALL
+    SELECT 'row_rule', 'freq_tracks_tone',
+           'seg_dom_freq_hz >= 150 & seg_dom_freq_hz <= 460', FALSE, FALSE,
+           tests, tests - n_corrupt - n_silent, n_corrupt + n_silent FROM counts
     """,
         "audio_validate_by_codec": audio_by_codec,
         "audio_violations": audio_violations,

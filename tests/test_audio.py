@@ -412,3 +412,80 @@ class TestSpectralFeatures:
         # NULL (undecodable) -> fail without allow_na; every valid clip passes
         assert res["dom_in_band"]["fail"] == corrupt
         assert res["centroid_above"]["fail"] == corrupt
+
+
+class TestAudioSegments:
+    """Segment-level validation (audio/segments.py): windowing math, per-
+    segment spectral ground truth, corrupt-row contract, partial windows."""
+
+    @pytest.fixture(scope="class")
+    def seg_df(self, spark):
+        from dataverifyr_spark.audio.segments import audio_segments, long_clips_table
+
+        return audio_segments(long_clips_table(spark, 60), window_ms=1000).cache()
+
+    def test_segment_counts_and_ground_truth(self, spark, seg_df):
+        from dataverifyr_spark.audio.segments import (
+            LONG_BASE_SEGS,
+            LONG_CORRUPT_EVERY,
+            LONG_SILENT_EVERY,
+        )
+
+        rows = seg_df.collect()
+        by_clip = {}
+        for r in rows:
+            by_clip.setdefault(r["clip_id"], []).append(r)
+        assert len(by_clip) == 60  # corrupt clips still surface (one row)
+        for cid, segs in by_clip.items():
+            i = int(cid.split("-")[1])
+            if i > 0 and i % LONG_CORRUPT_EVERY == 0:
+                assert len(segs) == 1 and not segs[0]["seg_valid"]
+                assert segs[0]["seg_error"] is not None
+                continue
+            assert len(segs) == LONG_BASE_SEGS + i % 3
+            for r in sorted(segs, key=lambda r: r["seg_idx"]):
+                s = r["seg_idx"]
+                assert r["seg_start_ms"] == pytest.approx(s * 1000.0)
+                if s == 1 and i > 0 and i % LONG_SILENT_EVERY == 0:
+                    assert r["seg_rms"] == pytest.approx(0.0, abs=1e-9)
+                else:
+                    # per-segment tone recovered within one 1 Hz bin
+                    assert r["seg_dom_freq_hz"] == pytest.approx(200.0 + 50.0 * s, abs=1.5)
+                    assert r["seg_rms"] == pytest.approx(0.5 / 2**0.5, rel=0.01)
+
+    def test_rules_over_segments(self, spark, seg_df):
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio.segments import LONG_CORRUPT_EVERY, LONG_SILENT_EVERY
+
+        res = {
+            r["name"]: r
+            for r in dv.check_data(
+                seg_df,
+                dv.ruleset(
+                    dv.rule("seg_valid", name="decodes"),
+                    dv.rule("seg_rms > 0.001", name="nonsilent"),
+                ),
+            ).collect()
+        }
+        corrupt = len([i for i in range(1, 60) if i % LONG_CORRUPT_EVERY == 0])
+        silent = len(
+            [i for i in range(1, 60) if i % LONG_SILENT_EVERY == 0 and i % LONG_CORRUPT_EVERY != 0]
+        )
+        assert res["decodes"]["fail"] == corrupt
+        assert res["nonsilent"]["fail"] == corrupt + silent  # NULL rms -> fail
+
+    def test_partial_window_kept_or_dropped(self, spark):
+        import numpy as np
+
+        from dataverifyr_spark.audio.segments import audio_segments
+        from dataverifyr_spark.audio.wav import encode_wav_pcm16
+
+        sr = 8000
+        blob = encode_wav_pcm16(np.zeros(int(sr * 2.5)), sr)  # 2.5 s
+        df = spark.createDataFrame([("c", bytearray(blob))], "clip_id string, bytes binary")
+        kept = audio_segments(df, window_ms=1000).collect()
+        assert [r["seg_idx"] for r in sorted(kept, key=lambda r: r["seg_idx"])] == [0, 1, 2]
+        dropped = audio_segments(df, window_ms=1000, drop_partial=True).collect()
+        assert len(dropped) == 2
+        with pytest.raises(ValueError, match="positive"):
+            audio_segments(df, window_ms=0)
