@@ -210,6 +210,22 @@ def bench_queries(
         lambda: dv.describe_by(li, by="l_returnflag", approx=True).collect(),
     )
 
+    # segment-level long audio (round 4): window each clip into 1 s slices in
+    # one Arrow decode pass, rms + rfft per window, fused 3-rule check
+    from dataverifyr_spark.audio.segments import audio_segments, long_clips_table
+
+    longs = long_clips_table(spark, N_LONG_CLIPS, num_partitions=parts).cache()
+    longs.count()
+    seg_rules = dv.ruleset(
+        dv.rule("seg_valid", name="decodes"),
+        dv.rule("seg_rms > 0.001", name="nonsilent"),
+        dv.rule("seg_dom_freq_hz >= 150 & seg_dom_freq_hz <= 460", name="freq_ok"),
+    )
+    run(
+        "audio_segments_validate",
+        lambda: dv.check_data(audio_segments(longs), seg_rules).collect(),
+    )
+
     # warmup sweep (JIT + codegen compile + cache touch), then ROUNDS
     # interleaved timed sweeps; per-query best + spread
     for _, fn in queries:
@@ -229,11 +245,13 @@ def bench_queries(
     clips.unpersist()
     vids.unpersist()
     h264.unpersist()
+    longs.unpersist()
     return timings, spreads, n_rows
 
 
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
 N_VIDEOS = int(os.environ.get("SPARK_GRAFT_BENCH_VIDEOS", "10000"))
+N_LONG_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_LONG_CLIPS", "3000"))
 
 
 def _hw_control(procs: int, n: int = 6000) -> float:
@@ -475,6 +493,10 @@ def main() -> None:
                     N_VIDEOS / timings["video_validate_h264"], 1
                 ),
                 "n_videos": N_VIDEOS,
+                "validated_audio_segments_per_sec": round(
+                    N_LONG_CLIPS * 4 / timings["audio_segments_validate"], 1
+                ),
+                "n_long_clips": N_LONG_CLIPS,
             }
         )
     )
