@@ -216,6 +216,9 @@ def bench_queries(
 
     longs = long_clips_table(spark, N_LONG_CLIPS, num_partitions=parts).cache()
     longs.count()
+    # actual validated segment-row count (corrupt clips emit ONE row, not
+    # ~4) so the reported segments/s is rows-validated, not an estimate
+    bench_queries.n_seg_rows = audio_segments(longs).count()
     seg_rules = dv.ruleset(
         dv.rule("seg_valid", name="decodes"),
         dv.rule("seg_rms > 0.001", name="nonsilent"),
@@ -494,9 +497,12 @@ def main() -> None:
                 ),
                 "n_videos": N_VIDEOS,
                 "validated_audio_segments_per_sec": round(
-                    N_LONG_CLIPS * 4 / timings["audio_segments_validate"], 1
+                    getattr(bench_queries, "n_seg_rows", N_LONG_CLIPS * 4)
+                    / timings["audio_segments_validate"],
+                    1,
                 ),
                 "n_long_clips": N_LONG_CLIPS,
+                "n_segment_rows": getattr(bench_queries, "n_seg_rows", None),
             }
         )
     )

@@ -100,15 +100,16 @@ def _spectral(x: np.ndarray, sr: int) -> tuple[float, float]:
 
 
 def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
-    """All bytes-derived features from ONE decode per clip (the shared probe
-    every bytes-family dialect function compiles onto)."""
-    keys = ("valid", "n_samples", "sr", "dur_ms", "rms", "dom_freq_hz", "spec_centroid_hz")
-    out = {k: [] for k in keys}
+    """All cheap bytes-derived features from ONE decode per clip (the shared
+    probe every bytes-family dialect function compiles onto).  Spectral
+    features live in their own probe (below) so rulesets that never mention
+    them never pay the per-clip rfft."""
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms")}
     for b in blobs:
         d = _decode(b)
         if d is None:
             out["valid"].append(False)
-            for k in keys[1:]:
+            for k in ("n_samples", "sr", "dur_ms", "rms"):
                 out[k].append(None)
             continue
         samples, sr = d
@@ -119,20 +120,35 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
         if len(samples):
             x = samples.astype(np.float64) / 32768.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))))
-            dom, cent = _spectral(x, sr)
-            out["dom_freq_hz"].append(dom)
-            out["spec_centroid_hz"].append(cent)
         else:
             out["rms"].append(None)
-            out["dom_freq_hz"].append(None)
-            out["spec_centroid_hz"].append(None)
     return pd.DataFrame(out)
 
 
-_BYTES_PROBE_TYPE = (
-    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "dom_freq_hz double, spec_centroid_hz double"
-)
+_BYTES_PROBE_TYPE = "valid boolean, n_samples bigint, sr int, dur_ms double, rms double"
+
+
+def _audio_spectral_probe_impl(blobs: pd.Series) -> pd.DataFrame:
+    """Spectral features — a SEPARATE shared probe (one rfft per clip) so the
+    FFT cost is paid only by rulesets that reference a spectral function.  A
+    ruleset mixing cheap and spectral rules evaluates two probe UDFs (two
+    decodes — the FFT dominates the second decode anyway); within each
+    family every rule still fuses onto one structurally-equal UDF call."""
+    out = {k: [] for k in ("dom_freq_hz", "spec_centroid_hz")}
+    for b in blobs:
+        d = _decode(b)
+        if d is None or not len(d[0]):
+            out["dom_freq_hz"].append(None)
+            out["spec_centroid_hz"].append(None)
+            continue
+        samples, sr = d
+        dom, cent = _spectral(samples.astype(np.float64) / 32768.0, sr)
+        out["dom_freq_hz"].append(dom)
+        out["spec_centroid_hz"].append(cent)
+    return pd.DataFrame(out)
+
+
+_SPECTRAL_PROBE_TYPE = "dom_freq_hz double, spec_centroid_hz double"
 
 # bytes-family dialect functions are FIELDS of the shared probe: every
 # occurrence compiles to the structurally-identical probe(bytes) expression,
@@ -145,6 +161,10 @@ _PROBE_FIELDS = {
     "audio_sr": "sr",
     "audio_dur_ms": "dur_ms",
     "audio_rms": "rms",
+}
+
+# spectral family: same field-of-shared-probe compilation, separate probe UDF
+_SPECTRAL_FIELDS = {
     "audio_dom_freq": "dom_freq_hz",
     "audio_spec_centroid": "spec_centroid_hz",
 }
@@ -153,6 +173,7 @@ _PROBE_FIELDS = {
 # because the DDL type string parse needs an active SparkSession
 _UDFS = {
     "audio_bytes_probe": (_audio_bytes_probe_impl, _BYTES_PROBE_TYPE, 1),
+    "audio_spectral_probe": (_audio_spectral_probe_impl, _SPECTRAL_PROBE_TYPE, 1),
     "audio_snr_vs_expected": (_audio_snr_vs_expected_impl, "double", 2),
     "transcript_matches_expected": (_transcript_matches_expected_impl, "boolean", 2),
 }
@@ -196,21 +217,25 @@ def register_audio_functions() -> None:
     names share the single-decode probe, the two (clip_id, ·) functions stay
     standalone UDFs (an SNR rule therefore adds one more decode — its
     waveform regeneration dominates the decode anyway)."""
-    for name, field in _PROBE_FIELDS.items():
+    for probe_name, fields in (
+        ("audio_bytes_probe", _PROBE_FIELDS),
+        ("audio_spectral_probe", _SPECTRAL_FIELDS),
+    ):
+        for name, field in fields.items():
 
-        def make_field_builder(n, f):
-            def builder(ctx, nodes, cols: list[Column]) -> Column:
-                if len(cols) != 1:
-                    raise ValueError(f"{n}() expects 1 argument, got {len(cols)}")
-                return _get_udf("audio_bytes_probe")(cols[0]).getField(f)
+            def make_field_builder(n, f, p):
+                def builder(ctx, nodes, cols: list[Column]) -> Column:
+                    if len(cols) != 1:
+                        raise ValueError(f"{n}() expects 1 argument, got {len(cols)}")
+                    return _get_udf(p)(cols[0]).getField(f)
 
-            return builder
+                return builder
 
-        register_function(name, make_field_builder(name, field))
+            register_function(name, make_field_builder(name, field, probe_name))
 
     for name, (_impl, _typ, arity) in _UDFS.items():
-        if name == "audio_bytes_probe":
-            continue  # not a dialect function — the probe fields above are
+        if name in ("audio_bytes_probe", "audio_spectral_probe"):
+            continue  # not dialect functions — the probe fields above are
 
         def make_builder(n, a):
             def builder(ctx, nodes, cols: list[Column]) -> Column:

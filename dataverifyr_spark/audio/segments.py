@@ -70,6 +70,11 @@ def audio_segments(
                     rows.append((cid, None, None, False, None, None, "undecodable container"))
                     continue
                 samples, sr = d
+                if not len(samples):
+                    # decodable but empty — still ONE row, never a silently
+                    # missing clip
+                    rows.append((cid, None, None, False, None, None, "empty audio (0 samples)"))
+                    continue
                 win = max(1, int(round(sr * window_ms / 1000.0)))
                 n_seg = len(samples) // win if drop_partial else max(
                     1, math.ceil(len(samples) / win)

@@ -134,6 +134,9 @@ def kmeans_fit(
     """Lloyd's k-means; returns k centroids (driver-side list of k×dim floats
     — tiny).  Init: the k rows with the smallest xxhash64(id-ish) — a
     deterministic pseudo-random sample without RNG state."""
+    # NULL/wrong-length rows can neither seed a centroid (a short init
+    # vector poisons every later distance) nor contribute to updates
+    df = df.filter(F.size(F.col(vec_col)) == dim)
     init = (
         df.select(F.col(vec_col))
         .withColumn("__h", F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed)))
@@ -156,6 +159,9 @@ def kmeans_fit(
         )
         new = [list(c) for c in centroids]
         for r in sums:
+            if r["__c"] is None or r["__c"] < 0:
+                continue  # -1 = NULL/wrong-length rows; Python's negative
+                # indexing would silently overwrite centroid k-1
             new[r["__c"]][r["__d"]] = float(r["__m"])
         centroids = new
     return centroids

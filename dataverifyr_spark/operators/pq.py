@@ -89,7 +89,15 @@ def pq_encode(
             _assign(F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j])
             for j in range(m)
         ]
-        return df.withColumn(out_col, F.array(*codes))
+        # whole-vector length gate so a wrong-length vector is ALL -1 like
+        # the UDF path (a partial slice would otherwise code its complete
+        # leading subspaces); NULL size -> otherwise branch
+        return df.withColumn(
+            out_col,
+            F.when(F.size(F.col(vec_col)) == m * sub, F.array(*codes)).otherwise(
+                F.array(*[F.lit(-1)] * m)
+            ),
+        )
 
     tensor = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
     bc = df.sparkSession.sparkContext.broadcast(
@@ -128,10 +136,16 @@ def adc_lut(codebooks: list[list[list[float]]], query_vec: list[float]) -> list[
 
 def _adc_dist(code_col: Column, lut: list[list[float]]) -> Column:
     """Approximate squared distance: Σ_j lut[j][code_j] — m element_at
-    lookups into one m×k literal, zero vector math per row."""
+    lookups into one m×k literal, zero vector math per row.  The -1 sentinel
+    (NULL/wrong-length vector at encode time) scores +inf, so invalid rows
+    sort last and never displace a real candidate from the top-k."""
     lut_lit = F.lit(lut)  # array<array<double>>, m*k elements (small by design)
     pairs = F.zip_with(
-        lut_lit, code_col, lambda row, c: F.element_at(row, c + F.lit(1))
+        lut_lit,
+        code_col,
+        lambda row, c: F.when(c >= 0, F.element_at(row, c + F.lit(1))).otherwise(
+            F.lit(float("inf"))
+        ),
     )
     return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
 

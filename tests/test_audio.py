@@ -489,3 +489,52 @@ class TestAudioSegments:
         assert len(dropped) == 2
         with pytest.raises(ValueError, match="positive"):
             audio_segments(df, window_ms=0)
+
+    def test_zero_sample_clip_gets_one_row(self, spark):
+        """r4 review: a DECODABLE zero-sample clip must emit one
+        seg_valid=false row, not vanish."""
+        import numpy as np
+
+        from dataverifyr_spark.audio.segments import audio_segments
+        from dataverifyr_spark.audio.wav import encode_wav_pcm16
+
+        blob = encode_wav_pcm16(np.zeros(0), 8000)
+        df = spark.createDataFrame([("z", bytearray(blob))], "clip_id string, bytes binary")
+        rows = audio_segments(df).collect()
+        assert len(rows) == 1 and not rows[0]["seg_valid"]
+        assert "empty" in rows[0]["seg_error"]
+
+    def test_spectral_probe_is_separate_udf(self, spark, clips):
+        """r4 review: cheap bytes rules must NOT pay the rfft — a cheap-only
+        plan has ONE probe UDF, a mixed plan has two."""
+        import contextlib
+        import io
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.check import compile_rule_predicate
+        from pyspark.sql import functions as F
+
+        def probes(rules):
+            """Distinct probe UDF invocations in the plan (Spark batches
+            several UDFs into ONE ArrowEvalPython node — count invocations,
+            not nodes)."""
+            preds = [compile_rule_predicate(r).column for r in rules]
+            agg = clips.agg(*[F.sum(F.when(p, 1).otherwise(0)).alias(f"p{i}")
+                              for i, p in enumerate(preds)])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agg.explain("formatted")
+            plan = buf.getvalue()
+            return (
+                "_audio_bytes_probe_impl" in plan,
+                "_audio_spectral_probe_impl" in plan,
+            )
+
+        cheap = dv.ruleset(dv.rule("audio_valid(bytes)"), dv.rule("audio_rms(bytes) > 0"))
+        spectral = dv.ruleset(dv.rule("audio_dom_freq(bytes) > 0"),
+                              dv.rule("audio_spec_centroid(bytes) > 0"))
+        mixed = dv.ruleset(dv.rule("audio_rms(bytes) > 0"),
+                           dv.rule("audio_dom_freq(bytes) > 0"))
+        assert probes(cheap) == (True, False)   # cheap rules never pay the rfft
+        assert probes(spectral) == (False, True)
+        assert probes(mixed) == (True, True)

@@ -818,3 +818,47 @@ class TestProductQuantization:
         assert rows[0]["vec_id"] == 5  # jitter source of the query
         # scan pruned: the scored frame needs only (id, cluster, code)
         assert set(top.columns) == {"vec_id", "adc_dist"}
+
+    def test_adc_invalid_codes_rank_last_not_crash(self, spark):
+        """r4 review: -1 sentinel codes must score +inf (sort last), not
+        throw INVALID_INDEX_OF_ZERO inside element_at."""
+        from dataverifyr_spark.operators.pq import pq_adc_topk, pq_encode
+
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.1, 0.1, 0.1]), (2, None), (3, [9.9])],
+            "vec_id bigint, embedding array<double>",
+        )
+        top = pq_adc_topk(pq_encode(df, books), books, [0.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in top] == [1, 2, 3]
+        assert top[0]["adc_dist"] < float("inf")
+        assert top[1]["adc_dist"] == float("inf")
+
+    def test_expr_path_wrong_length_all_minus_one(self, spark):
+        """r4 review: the EXPRESSION encode arm must emit all -1 for a
+        wrong-length vector (not valid codes for complete leading
+        subspaces), matching the UDF arm."""
+        from dataverifyr_spark.operators.pq import pq_encode
+
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0, 1.0]), (2, None), (3, [0.1, 0.1, 1.9, 2.1])],
+            "vec_id bigint, embedding array<double>",
+        )
+        codes = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, books).collect()}
+        assert codes[1] == [-1, -1]  # length 3 != 4, leading subspace complete
+        assert codes[2] == [-1, -1]
+        assert codes[3] == [0, 1]
+
+    def test_kmeans_ignores_invalid_cluster_rows(self, spark):
+        """r4 review: rows assigned -1 (wrong-length) must not corrupt
+        centroid k-1 through Python negative indexing in the update loop."""
+        from dataverifyr_spark.operators.ivf import kmeans_fit
+
+        rows = [(i, [float(i % 2) * 10, float(i % 2) * 10]) for i in range(20)]
+        rows.append((99, [7.0]))  # wrong length -> cluster -1
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        cents = kmeans_fit(df, k=2, dim=2, iters=3)
+        # both centroids must sit on the two true cluster centers (0 or 10)
+        for c in cents:
+            assert all(abs(v) < 1e-6 or abs(v - 10) < 1e-6 for v in c), cents
