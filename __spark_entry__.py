@@ -128,13 +128,16 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataverifyr_spark.operators.text import token_stats
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    return docs.select(
+    return token_stats(docs, bpe=True).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
+        "n_tokens",
+        F.col("n_chars").alias("n_chars_calc"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        "n_bpe_pieces",
     )
 
 
@@ -1178,11 +1181,13 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY md5(text)
     """
 
-    token_stats = """
+    token_stats = r"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            CAST(LENGTH(text) AS INT) AS n_chars_calc,
-           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,4}|[^A-Za-z0-9\s]'))
+                AS INT) AS n_bpe_pieces
     FROM documents
     """
 
