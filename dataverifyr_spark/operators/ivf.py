@@ -14,14 +14,12 @@ pruning.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dot, brute_force_topk
+from .similarity import brute_force_topk
 
 __all__ = ["kmeans_fit", "assign_clusters", "ivf_index", "ivf_topk"]
 

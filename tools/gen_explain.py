@@ -4,7 +4,6 @@ from pyspark.sql import functions as F
 from dataverifyr_spark.session import build_spark
 import dataverifyr_spark as dv
 from dataverifyr_spark.check import compile_rule_predicate
-from dataverifyr_spark.operators.dedup import minhash_signatures, lsh_candidate_pairs
 from dataverifyr_spark.operators.similarity import brute_force_topk
 
 spark = build_spark(master="local[8]", shuffle_partitions=8, spark_ui_enabled="false")
