@@ -90,6 +90,26 @@ def q_reference_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(datasets, rs).select(*_SUMMARY_COLS)
 
 
+def q_reference_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-row materialization (check.reference_violations — the
+    filter_fails complement for FK rules, which the reference skips,
+    R/filters.R:42-47): every 10th order's custkey is deterministically
+    shifted out of range; the left-anti join must surface EXACTLY those rows
+    for triage."""
+    from dataverifyr_spark.check import reference_violations
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_custkey") + F.lit(1000000)
+        ).otherwise(F.col("o_custkey")),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rr = dv.reference_rule("o_custkey", "customer", "c_custkey", name="fk")
+    out = reference_violations(orders, rr, {"customer": cust})
+    return out.select("o_orderkey", "o_custkey")
+
+
 def q_describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     d = dv.describe(cust, top_n=0)
@@ -1066,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
         "audio_spectral_validate": q_audio_spectral_validate,
         "audio_segments_validate": q_audio_segments_validate,
+        "reference_violations_orders": q_reference_violations_orders,
     }
 
 
@@ -1962,6 +1983,17 @@ def oracle_sql() -> dict[str, str]:
                     ('set_event_type'), ('notnull_event_type'),
                     ('bounds_value'), ('notnull_value'),
                     ('notnull_props')) AS r(name)
+    """,
+        "reference_violations_orders": """
+    WITH mutated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+      FROM orders
+    )
+    SELECT m.o_orderkey, m.o_custkey
+    FROM mutated m
+    WHERE m.o_custkey IS NULL
+       OR m.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
     """,
         "check_by_event_type": check_by_event,
         "describe_by_codec": describe_by_codec,
