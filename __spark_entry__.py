@@ -110,6 +110,36 @@ def q_reference_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("o_orderkey", "o_custkey")
 
 
+def q_sources_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-source round-trip (sources.load_table): events written as JSONL
+    and read back through the loader must aggregate identically to the
+    original parquet — certifying the non-parquet ingest path cross-engine
+    (schema inference included)."""
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.sources import load_table
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="dvfy_jsonl_gate_")
+    try:
+        path = os.path.join(root, "events_json")
+        ev.coalesce(4).write.json(path)
+        back = load_table(spark, path, fmt="json")
+        rows = [
+            (r["event_type"], r["n"], r["sum_value"])
+            for r in back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n bigint, sum_value double")
+
+
 def q_describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     d = dv.describe(cust, top_n=0)
@@ -1087,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_validate": q_audio_spectral_validate,
         "audio_segments_validate": q_audio_segments_validate,
         "reference_violations_orders": q_reference_violations_orders,
+        "sources_jsonl_events": q_sources_jsonl_events,
     }
 
 
@@ -1994,6 +2025,11 @@ def oracle_sql() -> dict[str, str]:
     FROM mutated m
     WHERE m.o_custkey IS NULL
        OR m.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+    """,
+        "sources_jsonl_events": """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
     """,
         "check_by_event_type": check_by_event,
         "describe_by_codec": describe_by_codec,
