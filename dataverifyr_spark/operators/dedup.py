@@ -89,6 +89,14 @@ def minhash_signatures(
     carries only num_hashes longs per document, and codegen sees a flat
     projection of xxhash64 calls instead of num_hashes nested array
     transforms (which measured ~5x slower and grow with document length).
+
+    Also measured and REJECTED (r4): a per-row ``aggregate`` fold keeping an
+    array of running minimums (zip_with + least per shingle) — zero shuffle
+    on paper, but interpreted HOF evaluation + per-shingle array allocation
+    made the full candidate-pair query 4.8 s → 8.9 s.  (Beware benchmarking
+    the signature stage under a count(): Catalyst prunes the unreferenced
+    signature column and the fold appears 7x faster while computing
+    nothing.)
     """
     exploded = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
