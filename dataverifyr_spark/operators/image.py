@@ -143,6 +143,9 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         raise ImageError(f"invalid BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     need = stride * h
+    if not 0 <= off <= len(blob):  # corrupted offset field: frombuffer would
+        # raise a raw ValueError, breaking the ImageError contract
+        raise ImageError(f"BMP pixel offset {off} outside blob")
     data = np.frombuffer(blob, dtype=np.uint8, count=-1, offset=off)
     if data.size < need:
         raise ImageError("BMP pixel data truncated")

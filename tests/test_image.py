@@ -391,3 +391,56 @@ class TestPNG:
         assert row["img_valid"] is True
         assert (row["img_width"], row["img_height"]) == (10, 6)
         assert row["img_brightness"] == pytest.approx(float(img.astype(np.float64).mean()))
+
+
+class TestByteFlipFuzz:
+    """Systematic corruption sweep (mirrors test_h264's): every still decoder
+    must either decode the mutated blob or raise ImageError — never a raw
+    zlib.error / struct.error / IndexError — so image_probe's error-row
+    contract holds for arbitrary corruption."""
+
+    @pytest.mark.parametrize("fmt", ["ppm", "bmp", "png", "jpeg"])
+    def test_single_byte_flips(self, fmt):
+        from dataverifyr_spark.operators.image import _encode_bmp24, encode_png, encode_ppm
+        from dataverifyr_spark.operators.jpeg import encode_jpeg
+
+        img = _checker(8, 12)
+        blob = {
+            "ppm": encode_ppm,
+            "bmp": _encode_bmp24,
+            "png": encode_png,
+            "jpeg": lambda a: encode_jpeg(a, quality=90),
+        }[fmt](img)
+        step = max(1, len(blob) // 120)  # ~120 mutation points per format
+        for i in range(0, len(blob), step):
+            mutated = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+            try:
+                decode_image(mutated)
+            except ImageError:
+                pass  # the contract
+            # any other exception type propagates and fails the test
+
+    def test_wav_byte_flips(self):
+        import numpy as np
+
+        from dataverifyr_spark.audio.wav import WavError, decode_wav, encode_wav_pcm16
+
+        blob = encode_wav_pcm16(np.linspace(-0.5, 0.5, 400), 8000)
+        for i in range(0, len(blob), 7):
+            mutated = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+            try:
+                decode_wav(mutated)
+            except WavError:
+                pass
+
+    def test_truncations(self):
+        from dataverifyr_spark.operators.image import encode_png
+        from dataverifyr_spark.operators.jpeg import encode_jpeg
+
+        img = _checker(8, 12)
+        for blob in (encode_png(img), encode_jpeg(img, quality=90)):
+            for cut in range(0, len(blob), 11):
+                try:
+                    decode_image(blob[:cut])
+                except ImageError:
+                    pass
