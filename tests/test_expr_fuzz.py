@@ -125,3 +125,16 @@ class TestSqlDifferential:
             duck_vals = [r[0] for r in con.execute(f"SELECT {to_sql(e)} FROM t").fetchall()]
             assert spark_vals == duck_vals, e
         df.unpersist()
+
+
+@given(st.text(alphabet="abc0'\"\\()%&|!<>=+-*/. \t$,[]{}#~^@;:`?", max_size=40))
+@settings(max_examples=400, deadline=None)
+def test_garbage_strings_raise_only_expr_error(s):
+    """Arbitrary junk must parse or raise ExprError — never a raw
+    tokenizer/recursion/Unicode exception — so a malformed rule from a YAML
+    file becomes an error ROW, not a dead job."""
+    try:
+        tree = parse_expr(s)
+        get_symbols(tree)  # a successful parse must also walk cleanly
+    except ExprError:
+        pass
