@@ -42,6 +42,12 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("pass", T.LongType(), False),
         T.StructField("fail", T.LongType(), False),
         T.StructField("commit_ts", T.DoubleType(), False),
+        # batch metrics (north_rule "lineage + metrics"): wall seconds of the
+        # validation job that committed this batch of partitions, and its
+        # aggregate row rate — same value across the batch's rows (ONE fused
+        # job validates all pending partitions)
+        T.StructField("batch_wall_s", T.DoubleType(), True),
+        T.StructField("batch_rows_per_s", T.DoubleType(), True),
     ]
 )
 
@@ -93,16 +99,27 @@ class ValidationLedger:
             df[part_col].cast("string") == F.col("__pk"),
             "left_semi",
         )
-        summary = check_data_by(scoped, rules, by=part_col)
-        out = summary.select(
-            F.lit(run_id).alias("run_id"),
-            F.col(part_col).cast("string").alias("part_key"),
-            "name",
-            "expr",
-            "tests",
-            "pass",
-            "fail",
-            F.lit(time.time()).alias("commit_ts"),
+        t0 = time.perf_counter()
+        rows = check_data_by(scoped, rules, by=part_col).collect()
+        wall = max(time.perf_counter() - t0, 1e-9)
+        n_rows = sum(r["tests"] for r in rows) / max(len({r["name"] for r in rows}), 1)
+        out = self.spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    str(r[part_col]),
+                    r["name"],
+                    r["expr"],
+                    r["tests"],
+                    r["pass"],
+                    r["fail"],
+                    time.time(),
+                    round(wall, 4),
+                    round(n_rows / wall, 1),
+                )
+                for r in rows
+            ],
+            LEDGER_SCHEMA,
         )
         out.write.mode("append").parquet(self.path)
         return run_id
