@@ -79,6 +79,15 @@ def audio_segments(
                 n_seg = len(samples) // win if drop_partial else max(
                     1, math.ceil(len(samples) / win)
                 )
+                if n_seg == 0:
+                    # drop_partial on a clip shorter than one window: emit ONE
+                    # marker row so the clip is never silently missing (the
+                    # contract corrupt/empty clips already honor above)
+                    rows.append(
+                        (cid, None, None, False, None, None,
+                         "no whole window (clip shorter than window_ms)")
+                    )
+                    continue
                 for s in range(n_seg):
                     sl = samples[s * win : (s + 1) * win]
                     if not len(sl):

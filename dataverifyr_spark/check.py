@@ -275,13 +275,18 @@ def _reference_ok_column(
     ref = datasets[r.ref_dataset]
     if r.ref_col not in ref.columns:
         raise ValueError(f"reference column '{r.ref_col}' not in dataset '{r.ref_dataset}'")
-    ref_vals = ref.select(F.col(r.ref_col).alias("__ref_val")).distinct()
+    # collision-proof alias: a local column literally named __ref_val must not
+    # shadow the hit marker (same scheme as the check_data_by path below)
+    ref_alias = "__dvfy_ref_val"
+    while ref_alias in df.columns:
+        ref_alias = "_" + ref_alias
+    ref_vals = ref.select(F.col(r.ref_col).alias(ref_alias)).distinct()
     # project df to the local column ONLY before joining: membership counting
     # needs nothing else, and at 10^12 rows a sort-merge join must not shuffle
     # the full payload (audio bytes!) just to count matches
     local = df.select(F.col(r.local_col))
-    joined = local.join(ref_vals, local[r.local_col] == F.col("__ref_val"), "left")
-    ok = F.col("__ref_val").isNotNull()
+    joined = local.join(ref_vals, local[r.local_col] == F.col(ref_alias), "left")
+    ok = F.col(ref_alias).isNotNull()
     if r.allow_na:
         ok = ok | F.col(r.local_col).isNull()
     if r.negate:

@@ -102,7 +102,14 @@ class ValidationLedger:
         t0 = time.perf_counter()
         rows = check_data_by(scoped, rules, by=part_col).collect()
         wall = max(time.perf_counter() - t0, 1e-9)
-        n_rows = sum(r["tests"] for r in rows) / max(len({r["name"] for r in rows}), 1)
+        # data rows per partition = max(tests) across that partition's rules
+        # (robust to error rows with tests>0/pass=0 and to rules that test
+        # fewer rows), summed across partitions — not an average over rules
+        per_part: dict[str, int] = {}
+        for r in rows:
+            k = str(r[part_col])
+            per_part[k] = max(per_part.get(k, 0), int(r["tests"] or 0))
+        n_rows = sum(per_part.values())
         out = self.spark.createDataFrame(
             [
                 (

@@ -123,8 +123,12 @@ def pq_encode(
 
 def adc_lut(codebooks: list[list[list[float]]], query_vec: list[float]) -> list[list[float]]:
     """Per-query ADC lookup table: lut[j][c] = ||q_j − codebook[j][c]||²."""
+    if not codebooks or any(not cb for cb in codebooks):
+        raise ValueError("codebooks must be a non-empty list of non-empty subspace codebooks")
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    if sub == 0 or any(len(cent) != sub for cb in codebooks for cent in cb):
+        raise ValueError(f"ragged codebooks: every centroid must have length {sub or '>=1'}")
     if len(query_vec) != m * sub:
         raise ValueError(f"query dim {len(query_vec)} != {m * sub}")
     lut: list[list[float]] = []

@@ -490,6 +490,25 @@ class TestAudioSegments:
         with pytest.raises(ValueError, match="positive"):
             audio_segments(df, window_ms=0)
 
+    def test_drop_partial_short_clip_marker_row(self, spark):
+        """ADVICE r5: drop_partial=True on a decodable clip shorter than one
+        window must emit ONE marker row, never zero rows (the never-silently-
+        missing contract)."""
+        import numpy as np
+
+        from dataverifyr_spark.audio.segments import audio_segments
+        from dataverifyr_spark.audio.wav import encode_wav_pcm16
+
+        sr = 8000
+        blob = encode_wav_pcm16(np.ones(int(sr * 0.4)) * 0.1, sr)  # 0.4 s
+        df = spark.createDataFrame([("short", bytearray(blob))], "clip_id string, bytes binary")
+        rows = audio_segments(df, window_ms=1000, drop_partial=True).collect()
+        assert len(rows) == 1 and not rows[0]["seg_valid"]
+        assert "no whole window" in rows[0]["seg_error"]
+        # default mode still computes features over the partial slice
+        kept = audio_segments(df, window_ms=1000).collect()
+        assert len(kept) == 1 and kept[0]["seg_valid"]
+
     def test_zero_sample_clip_gets_one_row(self, spark):
         """r4 review: a DECODABLE zero-sample clip must emit one
         seg_valid=false row, not vanish."""

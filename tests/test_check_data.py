@@ -314,3 +314,21 @@ class TestCheckDataByReference:
             check_data_by(
                 cars_df, ruleset(rule("mpg > 0"), reference_rule("cyl", "t", "c")), by="am"
             )
+
+    def test_nongrouped_ref_alias_collision(self, spark):
+        """ADVICE r5: plain check_data (not just check_data_by) must survive
+        a local column literally named __dvfy_ref_val — the hit-marker alias
+        is generated collision-proof on BOTH paths."""
+        from dataverifyr_spark import check_data, reference_rule
+
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (2, 99, "x"), (3, None, "x")],
+            "oid int, cust int, __dvfy_ref_val string",
+        )
+        ref = spark.createDataFrame([(10,)], "cid int")
+        row = check_data(
+            {"main": df, "c": ref},
+            ruleset(reference_rule("cust", "c", "cid", name="fk")),
+        ).collect()[0]
+        # 10 hits, 99 misses, NULL misses (%in% never NA)
+        assert (row["tests"], row["pass"], row["fail"]) == (3, 1, 2)

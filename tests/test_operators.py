@@ -794,6 +794,14 @@ class TestProductQuantization:
             pq_train(vec_df, dim=16, m=5)
         with pytest.raises(ValueError, match="query dim"):
             adc_lut([[[0.0, 0.0]]], [1.0, 2.0, 3.0])
+        # ADVICE r5: empty / ragged codebooks get a contextual ValueError,
+        # not a bare IndexError from codebooks[0][0]
+        with pytest.raises(ValueError, match="non-empty"):
+            adc_lut([], [1.0])
+        with pytest.raises(ValueError, match="non-empty"):
+            adc_lut([[]], [1.0])
+        with pytest.raises(ValueError, match="ragged"):
+            adc_lut([[[0.0, 0.0]], [[1.0]]], [1.0, 2.0, 3.0])
 
     def test_ivf_pq_composition(self, spark, vec_df):
         """The IVF-PQ layout: coarse-quantize into inverted lists, PQ-score

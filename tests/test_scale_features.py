@@ -144,6 +144,22 @@ class TestLedger:
         totals = led.totals("r2").collect()[0]
         assert totals["tests"] == 1000  # no double count of first half
 
+    def test_batch_row_rate_counts_rows_not_rule_average(self, spark, tmp_path):
+        """ADVICE r5: batch_rows_per_s derives from max(tests) per partition
+        summed across partitions — implied rows = rate × wall must equal the
+        batch's actual data rows regardless of how many rules ran."""
+        df = spark.range(0, 500).select(
+            (F.col("id") % 5).alias("pk"), F.col("id").cast("double").alias("x")
+        )
+        led = ValidationLedger(spark, str(tmp_path / "ledger_rate"))
+        rs = ruleset(
+            rule("x >= 0", name="a"), rule("x < 9e9", name="b"), rule("x != -1", name="c")
+        )
+        led.run(df, rs, "pk", run_id="rr")
+        row = led.results("rr").collect()[0]
+        implied = row["batch_rows_per_s"] * row["batch_wall_s"]
+        assert abs(implied - 500) <= 5  # rounding tolerance only
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
