@@ -766,6 +766,22 @@ def q_describe_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_describe_by_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: keyed most_frequent (describe_by(top_n=3)) — ONE explode →
+    groupBy(group, var, value) → window top-n pass whose "v (c), v2 (c2)"
+    strings are assembled by pure Catalyst array ops (no collect, no per-
+    group jobs), joined back to the fused stats rows.  The oracle replicates
+    rank-first-then-skip-ones (R/describe.R:87-93) with a windowed
+    string_agg per market segment."""
+    from dataverifyr_spark.describe import describe_by
+
+    cust = _t(spark, sf_dir, "customer")
+    prof = describe_by(
+        cust.select("c_mktsegment", "c_nationkey"), by="c_mktsegment", top_n=3
+    )
+    return prof.select("c_mktsegment", "var", "n", "n_distinct", "most_frequent")
+
+
 def q_h264_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H.264 container-level validation (operators/h264.py): Annex-B NAL walk,
     SPS-derived resolution, frame/IDR counts from slice headers — zero pixel
@@ -1106,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_validate": q_h264_validate,
         "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
         "describe_by_codec": q_describe_by_codec,
+        "describe_by_most_frequent": q_describe_by_most_frequent,
         "suggest_rules_events": q_suggest_rules_events,
         "stream_to_ledger_events": q_stream_to_ledger_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2033,6 +2050,20 @@ def oracle_sql() -> dict[str, str]:
     """,
         "check_by_event_type": check_by_event,
         "describe_by_codec": describe_by_codec,
+        "describe_by_most_frequent": """
+    WITH ranked AS (
+      SELECT c_mktsegment, 'c_nationkey' AS var, c_nationkey AS val, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, var,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           COALESCE(string_agg(CAST(val AS VARCHAR) || ' (' || c || ')', ', ' ORDER BY rn)
+                      FILTER (WHERE rn <= 3 AND c > 1), '') AS most_frequent
+    FROM ranked GROUP BY c_mktsegment, var
+    """,
         "violations_customer": violations,
         "reference_orders_customer": reference,
         "describe_customer": describe,

@@ -230,6 +230,9 @@ def describe_by(
     by: str | list[str],
     approx: bool = False,
     fast: bool = False,
+    top_n: int = 0,
+    digits: int = 4,
+    skip_ones: bool = True,
 ) -> DataFrame:
     """Per-group ``describe`` — the north_rule per-partition shape applied to
     profiling (the check analog is ``check_data_by``).  ONE
@@ -239,9 +242,13 @@ def describe_by(
     so a 10^6-partition profile is still a single shuffle.
 
     Columns: ``by...`` + ``var, type, n, n_distinct, n_na, min, mean,
-    median, max, sd`` — the :func:`describe` schema minus ``most_frequent``
-    (a per-group mode needs a second keyed top-k pass; use
-    ``_most_frequent_fused`` semantics per slice if needed).  Value
+    median, max, sd``.  With ``top_n > 0`` (and not ``fast``), a
+    ``most_frequent`` column is added after ``n_na`` — computed by ONE keyed
+    top-k pass (:func:`_most_frequent_by`: explode → groupBy(by, var, v) →
+    window → Catalyst string assembly) joined back on (by, var); the default
+    ``top_n=0`` keeps the original single-aggregate plan and schema.  Slices
+    with ≤1 distinct value are suppressed to ``""`` exactly like
+    :func:`describe` (R/describe.R:75-93 applied per slice).  Value
     semantics (string-length profiling, NA-counts-as-distinct, sample sd,
     approx sketches) are identical to :func:`describe`.
     """
@@ -281,9 +288,30 @@ def describe_by(
                 F.col(f"sd__{name}").cast("double").alias("sd"),
             )
         )
-    return grouped.select(
+    out = grouped.select(
         *[F.col(c) for c in by_cols], F.explode(F.array(*structs)).alias("__s")
     ).select(*by_cols, "__s.*")
+    if top_n > 0 and not fast:
+        mf = _most_frequent_by(df, by_cols, fields, top_n, digits, skip_ones)
+        # null-safe equi-join so NULL group keys keep their top-k; mf has at
+        # most one row per (group, var), so this is a 1:1 key join of two
+        # already-aggregated (small) sides — AQE broadcasts it when tiny
+        cond = F.lit(True)
+        for c in by_cols + ["var"]:
+            cond = cond & out[c].eqNullSafe(mf[c])
+        joined = out.join(mf, cond, "left").drop(*[mf[c] for c in by_cols + ["var"]])
+        mf_col = F.when(
+            F.col("n_distinct") <= 1, F.lit("")  # per-slice suppression
+        ).otherwise(F.coalesce(F.col("most_frequent"), F.lit("")))
+        joined = (
+            joined.withColumn("__mf", mf_col)
+            .drop("most_frequent")
+            .withColumnRenamed("__mf", "most_frequent")
+        )
+        order = by_cols + ["var", "type", "n", "n_distinct", "n_na", "most_frequent",
+                           "min", "mean", "median", "max", "sd"]
+        out = joined.select(*order)
+    return out
 
 
 def _f(v) -> float | None:
@@ -315,6 +343,86 @@ def _most_frequent(
     return ", ".join(parts)  # empty after skip_ones ⇒ "" (R/describe.R:82)
 
 
+def _most_frequent_by(
+    df: DataFrame,
+    by_cols: list[str],
+    fields: list[T.StructField],
+    top_n: int,
+    digits: int,
+    skip_ones: bool,
+) -> DataFrame:
+    """Keyed most_frequent — the per-group analog of
+    :func:`_most_frequent_fused`, but fully IN-PLAN (no collect): ONE
+    explode → ``groupBy(by, var, v)`` count → window top-n per (group, var) →
+    ``collect_list``/``array_sort``/``filter``/``transform`` assembles the
+    ``"v (c), v2 (c2)"`` string per slice with pure Catalyst expressions.
+    Returns ``(by..., var, most_frequent)`` — one row per (group, column)
+    whose slice had at least one row; a 10^6-group profile is still one
+    shuffle on (by, var, v) plus one on (by, var).
+
+    Formatting parity note: numeric display uses Catalyst round + %.0f for
+    integral values, which matches the driver-side ``_fmt_value`` for
+    integers and short decimals (the profiling case); Python's ``%g``
+    scientific cutover for |v| ≥ 1e6 or NaN strings is not replicated.
+    Tie-break matches the fused path: count desc, typed value asc (numeric
+    columns numerically), NULL (displayed NA) last.
+    """
+    from pyspark.sql.window import Window
+
+    structs = [
+        F.struct(F.lit(f.name).alias("var"), _mf_value_str(f).alias("v"))
+        for f in fields
+    ]
+    pairs = df.select(
+        *[F.col(c) for c in by_cols], F.explode(F.array(*structs)).alias("p")
+    ).select(*by_cols, "p.var", "p.v")
+    counts = pairs.groupBy(*by_cols, "var", "v").agg(F.count(F.lit(1)).alias("c"))
+
+    numeric_vars = sorted(f.name for f in fields if isinstance(f.dataType, _NUMERIC))
+    num_key = F.when(F.col("var").isin(numeric_vars), F.col("v").try_cast("double"))
+    w = Window.partitionBy(*by_cols, "var").orderBy(
+        F.desc("c"), F.asc_nulls_last(num_key), F.asc_nulls_last("v")
+    )
+    # Catalyst analog of _fmt_value: round to `digits`, integral values
+    # render bare ("15" not "15.0"), everything else via double→string
+    d = F.round(F.col("v").try_cast("double"), digits)
+    disp_num = F.when(d % 1 == 0, F.format_string("%.0f", d)).otherwise(d.cast("string"))
+    disp = F.when(F.col("v").isNull(), F.lit("NA")).otherwise(
+        F.when(F.col("var").isin(numeric_vars), disp_num).otherwise(F.col("v"))
+    )
+    ranked = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(*by_cols, "var", F.struct("rn", "c", disp.alias("disp")).alias("e"))
+    )
+    arr = F.array_sort(F.collect_list("e"))  # sorts by rn (first struct field)
+    if skip_ones:
+        # R semantics (R/describe.R:87-93): rank FIRST, then drop count==1 —
+        # no backfill from below the top-n cut
+        arr = F.filter(arr, lambda s: s["c"] > F.lit(1))
+    mf = F.array_join(
+        F.transform(
+            arr,
+            lambda s: F.concat(s["disp"], F.lit(" ("), s["c"].cast("string"), F.lit(")")),
+        ),
+        ", ",
+    )
+    return ranked.groupBy(*by_cols, "var").agg(mf.alias("most_frequent"))
+
+
+def _mf_value_str(f: T.StructField) -> Column:
+    """String view of a column for top-k counting: booleans render TRUE/FALSE
+    (the R format, R/describe.R:75-85), everything else casts; NULL stays
+    NULL (displayed as NA downstream)."""
+    c = F.col(f.name)
+    if isinstance(f.dataType, T.BooleanType):
+        # NULL must stay NULL (otherwise() would swallow it into FALSE)
+        return F.when(c.isNull(), F.lit(None).cast("string")).when(
+            c, F.lit("TRUE")
+        ).otherwise(F.lit("FALSE"))
+    return c.cast("string")
+
+
 def _most_frequent_fused(
     df: DataFrame, fields: list[T.StructField], top_n: int, digits: int, skip_ones: bool
 ) -> dict[str, str]:
@@ -324,19 +432,14 @@ def _most_frequent_fused(
     from pyspark.sql.window import Window
 
     structs = [
-        F.struct(
-            F.lit(f.name).alias("var"),
-            F.when(F.col(f.name).isNull(), F.lit(None)).otherwise(
-                F.col(f.name).cast("string")
-            ).alias("v"),
-        )
+        F.struct(F.lit(f.name).alias("var"), _mf_value_str(f).alias("v"))
         for f in fields
     ]
     pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.var", "p.v")
     counts = pairs.groupBy("var", "v").agg(F.count(F.lit(1)).alias("c"))
-    numeric_vars = {
-        f.name for f in fields if isinstance(f.dataType, _NUMERIC + (T.BooleanType,))
-    }
+    # booleans are pre-rendered TRUE/FALSE by _mf_value_str (float('true')
+    # crashed here pre-r5) and sort correctly as strings (FALSE < TRUE)
+    numeric_vars = {f.name for f in fields if isinstance(f.dataType, _NUMERIC)}
     # tie-break on the TYPED value like the per-column path: NUMERIC columns
     # order count ties numerically, everything else lexicographically, NAs
     # last — matching R's sort (a "11"<"7" string tie-break diverged here)

@@ -226,6 +226,54 @@ class TestDescribeBy:
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Expand" not in phys, phys
 
+    def test_most_frequent_per_slice_parity(self, spark):
+        """r5 (VERDICT ask #1): describe_by(top_n>0) adds a most_frequent
+        column equal to describe()'s per slice — keyed top-k assembled
+        entirely in Catalyst (no collect, no per-group jobs)."""
+        from dataverifyr_spark import describe_by
+
+        rows = [
+            ("g1", 1, "a", True), ("g1", 1, "a", True), ("g1", 2, "b", False),
+            ("g1", 3, "a", None),
+            ("g2", 7, "z", True), ("g2", 7, "z", True), ("g2", 7, "y", False),
+            ("g2", 8, None, False),
+            ("g3", 5, "only", True),  # 1-distinct slice -> suppressed ""
+        ]
+        d = spark.createDataFrame(rows, "g string, num int, chr string, flag boolean")
+        out = describe_by(d, by="g", top_n=3)
+        assert out.columns[:6] == ["g", "var", "type", "n", "n_distinct", "n_na"]
+        assert out.columns[6] == "most_frequent"
+        got = {(r["g"], r["var"]): r["most_frequent"] for r in out.collect()}
+        for g in ("g1", "g2", "g3"):
+            ref = {
+                r["var"]: r["most_frequent"]
+                for r in describe(d.filter(f"g='{g}'").drop("g"), top_n=3).collect()
+            }
+            for var, exp in ref.items():
+                assert got[(g, var)] == exp, (g, var, got[(g, var)], exp)
+        # default keeps the original schema (no most_frequent column)
+        assert "most_frequent" not in describe_by(d, by="g").columns
+
+    def test_most_frequent_null_group_key(self, spark):
+        """NULL group keys keep their top-k (null-safe join)."""
+        from dataverifyr_spark import describe_by
+
+        d = spark.createDataFrame(
+            [(None, "a"), (None, "a"), (None, "b"), ("g", "c"), ("g", "c")],
+            "k string, v string",
+        )
+        got = {r["k"]: r["most_frequent"] for r in describe_by(d, by="k", top_n=2).collect()}
+        assert got[None] == "a (2)"
+        assert got["g"] == ""  # 1-distinct slice suppressed
+
+    def test_fused_boolean_column_no_crash(self, spark):
+        """r5 bugfix: fused top-k crashed on booleans (float('true')); both
+        strategies must now render R's TRUE/FALSE format."""
+        d = spark.createDataFrame([(True,), (True,), (False,), (None,)], "b boolean")
+        fused = describe(d, fused_topk=True).collect()[0]["most_frequent"]
+        percol = describe(d, fused_topk=False).collect()[0]["most_frequent"]
+        assert fused == percol == "TRUE (2)"
+
     def test_fast_and_missing_by_col(self, spark, df):
         from dataverifyr_spark import describe_by
 
