@@ -766,6 +766,26 @@ def q_describe_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mjpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: REAL compressed-video pixel decode (operators/mjpeg.py, retires
+    decode_image_stub).  The fixture alternates AVI/RIFF and bare-stream
+    MJPEG carriers; video_probe walks the container by offsets, decodes only
+    SAMPLED frames through the numpy baseline-JPEG codec, and the fused rules
+    hit luma/frame-count/validity.  Oracle recomputes the injection cadences
+    (corrupt %13, short %7, dark %11) from generate_series — Spark must reach
+    the counts through real RIFF/marker walks and entropy/DCT decode."""
+    from dataverifyr_spark.operators.image import video_probe
+    from dataverifyr_spark.operators.mjpeg import mjpeg_videos_table
+
+    vids = mjpeg_videos_table(spark, 400)
+    rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_mean_luma > 10", name="not_black", allow_na=True),
+    )
+    return dv.check_data(video_probe(vids), rules).select(*_SUMMARY_COLS)
+
+
 def q_describe_by_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: keyed most_frequent (describe_by(top_n=3)) — ONE explode →
     groupBy(group, var, value) → window top-n pass whose "v (c), v2 (c2)"
@@ -1120,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cumulative_events": q_stream_cumulative_events,
         "ledger_resume_lineitem": q_ledger_resume_lineitem,
         "h264_validate": q_h264_validate,
+        "mjpeg_validate": q_mjpeg_validate,
         "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
         "describe_by_codec": q_describe_by_codec,
         "describe_by_most_frequent": q_describe_by_most_frequent,
@@ -1638,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    mjpeg_validate = """
+    WITH vflags AS (
+      SELECT i,
+             (i > 0 AND i % 13 = 0) AS corrupt,
+             (i > 0 AND i % 7 = 0) AS short,
+             (i > 0 AND i % 11 = 0) AS dark
+      FROM (SELECT unnest(generate_series(0, 399)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            video_rule_row("decodes", "vid_valid", "FALSE", "NOT corrupt"),
+            video_rule_row("enough_frames", "vid_n_frames >= 5", "TRUE", "corrupt OR NOT short"),
+            video_rule_row("not_black", "vid_mean_luma > 10", "TRUE", "corrupt OR NOT dark"),
+        ]
+    )
+
     h264_validate = """
     WITH vflags AS (
       SELECT i,
@@ -1843,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs_against_documents": lsh_pairs_against,
         "video_validate": video_validate,
         "h264_validate": h264_validate,
+        "mjpeg_validate": mjpeg_validate,
         "stream_cumulative_events": """
     WITH f AS (
       SELECT CAST(event_id % 3 AS INTEGER) AS batch, event_type,

@@ -499,10 +499,15 @@ def video_probe(
       SPS resolution + frame/IDR counts from NAL + slice headers, zero pixel
       decode, cost independent of payload size (``vid_mean_luma`` is NULL,
       ``vid_n_idr`` is populated).
+    * MJPEG (AVI/RIFF or bare concatenated stream, ``operators.mjpeg``) —
+      REAL compressed-video pixel decode: RIFF/marker walk for (w, h,
+      n_frames), then only the SAMPLED frames pay the JPEG entropy/DCT cost
+      (``vid_mean_luma`` from decoded pixels, ``vid_n_idr`` NULL).
 
     Bad containers become (vid_valid=false, vid_error=...) rows, never
     exceptions — the same contract as image_probe."""
     from .h264 import h264_info
+    from .mjpeg import mjpeg_info, mjpeg_sample_frames
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -515,6 +520,11 @@ def video_probe(
                     if b[:3] in (b"\x00\x00\x01", b"\x00\x00\x00"):
                         w, h, n_frames, n_idr, _, _ = h264_info(b)
                         rows.append((str(mid), True, w, h, n_frames, n_idr, None, None))
+                    elif b[:4] == b"RIFF" or b[:2] == b"\xff\xd8":
+                        w, h, n_frames, _spans = mjpeg_info(b)
+                        sampled = mjpeg_sample_frames(b, every_n=every_n)
+                        luma = float(sampled.mean()) if sampled.size else None
+                        rows.append((str(mid), True, w, h, n_frames, None, luma, None))
                     else:
                         w, h, n_frames, _ = y4m_info(b)
                         sampled = y4m_sample_frames(b, every_n=every_n)

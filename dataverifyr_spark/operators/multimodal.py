@@ -6,14 +6,14 @@ Fully-real decoders (pure numpy + stdlib zlib, no codec libraries):
 * still images PPM/BMP/PNG + video Y4M frame sampling — ``operators.image``
 * baseline JPEG — ``operators.jpeg`` (numpy DCT, Python Huffman layer)
 
-Compressed video gets a REAL container-level probe — ``operators.h264``
-parses Annex-B NAL/SPS/slice headers for resolution + frame/IDR counts with
-no pixel decode (that's what validation needs; ``video_probe`` dispatches on
-magic).  Only PIXEL decode of compressed video remains a deterministic fake
-(``decode_image_stub``), because it needs a codec library this environment
-lacks; swapping it for a real codec changes only the inner function, not the
-plan shape — the Arrow batch iteration, schema contracts, and
-partition-preserving transforms here are real and tested either way.
+Compressed video is real end-to-end: ``operators.h264`` parses Annex-B
+NAL/SPS/slice headers for resolution + frame/IDR counts with no pixel
+decode, and ``operators.mjpeg`` does REAL compressed-video PIXEL decode
+(AVI/RIFF or bare MJPEG container walk feeding sampled frames through the
+numpy baseline-JPEG codec) — ``video_probe`` dispatches on magic.  The
+former ``decode_image_stub`` fake was retired in r5; production clusters
+can still swap faster codec libraries in via
+``operators.image.register_decoder`` without touching the plan shape.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["decode_image_stub", "extract_media_features", "MEDIA_FEATURE_SCHEMA"]
+__all__ = ["extract_media_features", "MEDIA_FEATURE_SCHEMA"]
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
@@ -54,20 +54,6 @@ def _sniff(blob: bytes | None) -> str | None:
         if blob[: len(magic)] == magic:
             return name
     return "unknown"
-
-
-def decode_image_stub(blob: bytes, target_size: tuple[int, int] = (32, 32)) -> np.ndarray:
-    """PIXEL-decode fake for compressed video codecs (container metadata is
-    real — ``operators.h264.h264_info``; stills are real —
-    ``operators.image.decode_image``).  Deterministic hash-seeded pixels with
-    the right shape/dtype so downstream contracts are fully exercised; a
-    production cluster swaps in PIL/cv2 via
-    ``operators.image.register_decoder`` without touching the plan shape."""
-    if blob is None:
-        raise ValueError("NULL blob (decode_image_stub)")
-    seed = len(blob) % (2**31)
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(*target_size, 3), dtype=np.uint8)
 
 
 def extract_media_features(

@@ -444,3 +444,111 @@ class TestByteFlipFuzz:
                     decode_image(blob[:cut])
                 except ImageError:
                     pass
+
+
+class TestMjpeg:
+    """operators/mjpeg.py — real compressed-video pixel decode (r5: retires
+    decode_image_stub)."""
+
+    def _frames(self, n=6, h=16, w=24, bias=0):
+        import numpy as np
+
+        f, y, x = np.mgrid[0:n, 0:h, 0:w]
+        return ((x * 3 + y * 5 + f * 7 + bias) % 200 + 50).astype(np.uint8)
+
+    def test_roundtrip_both_carriers(self):
+        import numpy as np
+
+        from dataverifyr_spark.operators.mjpeg import (
+            encode_avi_mjpeg,
+            encode_bare_mjpeg,
+            mjpeg_info,
+            mjpeg_sample_frames,
+        )
+
+        frames = self._frames()
+        for enc in (encode_avi_mjpeg, encode_bare_mjpeg):
+            blob = enc(frames)
+            w, h, n, spans = mjpeg_info(blob)
+            assert (w, h, n) == (24, 16, 6)
+            assert len(spans) == 6
+            s = mjpeg_sample_frames(blob, every_n=2)
+            assert s.shape == (3, 16, 24, 3)
+            # decoded pixels are REAL (lossy-close to the source, not fake)
+            err = np.abs(s[0, :, :, 0].astype(float) - frames[0].astype(float)).mean()
+            assert err < 3.0, err
+        # every_n honors offsets: frame 0, 2, 4 sampled (f-gradient +7/frame)
+        assert float(s[1].mean()) != float(s[0].mean())
+
+    def test_marker_walk_survives_ffd9_in_table_payload(self):
+        """A COM segment whose payload contains FF D9 must NOT split the
+        frame early — boundaries come from a real segment-length walk, not a
+        byte search."""
+        from dataverifyr_spark.operators.jpeg import encode_jpeg
+        from dataverifyr_spark.operators.mjpeg import mjpeg_info
+
+        f0 = encode_jpeg(self._frames(1)[0])
+        # inject COM (FFFE), length 4, payload = FF D9 right after SOI
+        poisoned = f0[:2] + b"\xff\xfe\x00\x04\xff\xd9" + f0[2:]
+        blob = poisoned + f0  # two-frame bare stream
+        w, h, n, spans = mjpeg_info(blob)
+        assert n == 2
+        assert spans[0][1] == len(poisoned)
+        assert blob.find(b"\xff\xd9") < spans[0][1] - 2  # naive search WOULD mis-split
+
+    def test_malformed_containers_raise(self):
+        import numpy as np
+        import pytest
+
+        from dataverifyr_spark.operators.image import ImageError
+        from dataverifyr_spark.operators.mjpeg import (
+            encode_avi_mjpeg,
+            encode_bare_mjpeg,
+            mjpeg_info,
+            mjpeg_sample_frames,
+        )
+
+        blob = encode_avi_mjpeg(self._frames(3))
+        with pytest.raises(ImageError, match="RIFF/SOI"):
+            mjpeg_info(b"XXXX" + blob[4:])
+        with pytest.raises(ImageError):
+            mjpeg_info(blob[: len(blob) // 2])  # truncated movi
+        bare = encode_bare_mjpeg(self._frames(2))
+        with pytest.raises(ImageError, match="unterminated"):
+            mjpeg_info(bare[:-4])
+        # frame size change mid-stream is a decode-time error
+        mixed = encode_bare_mjpeg(self._frames(1)) + encode_bare_mjpeg(
+            np.zeros((1, 8, 8), np.uint8)
+        )
+        with pytest.raises(ImageError, match="dimensions vary"):
+            mjpeg_sample_frames(mixed)
+
+    def test_fixture_cadence_through_probe_rules(self, spark):
+        """mjpeg_videos_table + video_probe + fused rules reproduce the
+        injection cadences — the mjpeg_validate gate contract.  The fixture
+        alternates AVI / bare carriers per index, so both container walks are
+        exercised in one pass."""
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.operators.image import video_probe
+        from dataverifyr_spark.operators.mjpeg import (
+            MJPEG_CORRUPT_EVERY,
+            MJPEG_DARK_EVERY,
+            MJPEG_SHORT_EVERY,
+            mjpeg_videos_table,
+        )
+
+        n = 120
+        vids = mjpeg_videos_table(spark, n)
+        rules = dv.ruleset(
+            dv.rule("vid_valid", name="decodes"),
+            dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+            dv.rule("vid_mean_luma > 10", name="not_black", allow_na=True),
+        )
+        by = {r["name"]: r for r in dv.check_data(video_probe(vids), rules).collect()}
+        corrupt = {i for i in range(1, n) if i % MJPEG_CORRUPT_EVERY == 0}
+        short = {i for i in range(1, n) if i % MJPEG_SHORT_EVERY == 0}
+        dark = {i for i in range(1, n) if i % MJPEG_DARK_EVERY == 0}
+        assert by["decodes"]["fail"] == len(corrupt)
+        assert by["enough_frames"]["fail"] == len(short - corrupt)
+        assert by["not_black"]["fail"] == len(dark - corrupt)
+        assert all(by[k]["error"] == "" for k in by)

@@ -171,14 +171,6 @@ class TestMultimodal:
         assert out["m2"]["format_guess"] == "png"
         assert out["m3"]["n_bytes"] is None and out["m3"]["feature"] is None
 
-    def test_image_stub_raises_on_none(self):
-        from dataverifyr_spark.operators.multimodal import decode_image_stub
-
-        with pytest.raises(ValueError, match="NULL blob"):
-            decode_image_stub(None)
-        img = decode_image_stub(b"x" * 100)
-        assert img.shape == (32, 32, 3)
-
     def test_sniff_detects_annexb(self):
         from dataverifyr_spark.operators.h264 import make_h264_stream
         from dataverifyr_spark.operators.multimodal import _sniff
