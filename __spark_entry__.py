@@ -766,6 +766,33 @@ def q_describe_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: ANN recall@k observability (operators/recall.py).  5 sample
+    queries run through BOTH the exact batch top-k (topk_join broadcast
+    cross) and the multiprobe-LSH batch searcher (bucket + Hamming-1 XOR
+    masks, ONE equi-join job) — the report row per query is (n_truth, n_hit,
+    recall, n_candidates).  Planes are the deterministic seed-42 set emitted
+    into the oracle as literals, so DuckDB recomputes buckets, probe
+    targets, per-query candidates, exact top-k and the recall fractions —
+    every number here is exactly replicable, not a statistical bound."""
+    from dataverifyr_spark.operators.recall import (
+        lsh_topk_join_multiprobe,
+        recall_report,
+    )
+    from dataverifyr_spark.operators.similarity import topk_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    truth = topk_join(corpus, queries, k=10)
+    approx = lsh_topk_join_multiprobe(
+        corpus, queries, k=10, dim=64, bits=4, probes=1, seed=42
+    )
+    return recall_report(truth, approx)
+
+
 def q_mjpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: REAL compressed-video pixel decode (operators/mjpeg.py, retires
     decode_image_stub).  The fixture alternates AVI/RIFF and bare-stream
@@ -1148,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_to_ledger_events": q_stream_to_ledger_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ann_recall_lsh": q_ann_recall_lsh,
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
         "topk_join_embeddings": q_topk_join_embeddings,
@@ -1377,6 +1405,59 @@ def oracle_sql() -> dict[str, str]:
     WHERE e.vec_id > 0 AND b.bucket = q.qbucket
     ORDER BY cosine_sim DESC, e.vec_id ASC
     LIMIT 10
+    """
+
+    # ann_recall_lsh — same seed-42 plane literals; recomputes buckets,
+    # Hamming-1 probe targets (XOR masks 0,1,2,4,8), per-query candidate
+    # sets, exact top-10 truth, and the recall fraction
+    ann_recall_lsh_sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {_plane_rows}) p(b, pl)),
+    buck AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.pl) >= 0
+                           THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id
+    ),
+    q AS (SELECT e.vec_id AS qid, e.v AS qv, b.bucket AS qb
+          FROM e JOIN buck b USING (vec_id) WHERE e.vec_id < 5),
+    corpus AS (SELECT e.vec_id, e.v, b.bucket
+               FROM e JOIN buck b USING (vec_id) WHERE e.vec_id >= 5),
+    truth AS (
+      SELECT q.qid, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(c.v, q.qv)
+                        / (sqrt(list_dot_product(c.v, c.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        c.vec_id ASC) AS rn
+      FROM q CROSS JOIN corpus c
+    ),
+    masks AS (SELECT unnest([0, 1, 2, 4, 8]) AS m),
+    cand AS (
+      SELECT q.qid, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM q JOIN masks ON TRUE
+      JOIN corpus c ON c.bucket = xor(q.qb, CAST(m AS BIGINT))
+    ),
+    approx AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY qid) AS ncand
+      FROM cand
+    )
+    SELECT t.qid AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall,
+           CAST(COALESCE(MAX(x.ncand), 0) AS BIGINT) AS n_candidates
+    FROM truth t
+    LEFT JOIN (SELECT * FROM approx WHERE rn <= 10) a
+           ON t.qid = a.qid AND t.vec_id = a.vec_id
+    LEFT JOIN (SELECT DISTINCT qid, ncand FROM approx) x ON t.qid = x.qid
+    WHERE t.rn <= 10
+    GROUP BY t.qid
     """
 
     # drift PSI — replicate drift.py's bucket/psi math exactly:
@@ -2160,4 +2241,5 @@ def oracle_sql() -> dict[str, str]:
     """,
         "ivf_topk_embeddings": ivf_topk_sql,
         "lsh_topk_embeddings": lsh_topk_sql,
+        "ann_recall_lsh": ann_recall_lsh_sql,
     }
