@@ -1089,6 +1089,74 @@ def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: late-data ACCOUNTING (streaming/validate.py
+    validate_stream_windowed_to_sink) — the watermark drop rule made
+    explicit.  Events replay as 3 deterministic micro-batches keyed on
+    hour%3; each batch classifies rows against the watermark in force
+    entering it (max event time of earlier batches − 30 min), on-time rows
+    feed the per-hour rule summary and dropped rows become per-hour
+    _dropped_by_watermark counter rows, so tests sum to the full input.  The
+    oracle recomputes per-batch watermarks and drop sets in SQL — every
+    counter here is enumerable, not a lossy metric."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.streaming import (
+        read_windowed_summary,
+        validate_stream_windowed_to_sink,
+    )
+
+    rules = dv.ruleset(dv.rule("value <= 100", name="v_low"))
+    ev = _t(spark, sf_dir, "events").select(
+        (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600) % 3)
+        .cast("int")
+        .alias("batch"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="dvfy_slate_gate_")
+    try:
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        staged = []
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            ev.filter(F.col("batch") == b).select("ts", "value").coalesce(1).write.parquet(stage)
+            staged.append(glob.glob(os.path.join(stage, "part-*.parquet"))[0])
+        sdf = spark.readStream.schema("ts timestamp, value double").parquet(indir)
+        writer = validate_stream_windowed_to_sink(
+            sdf,
+            rules,
+            time_col="ts",
+            sink_path=os.path.join(root, "sink"),
+            checkpoint_path=os.path.join(root, "ckpt"),
+            window="1 hour",
+            watermark="30 minutes",
+        )
+        q = writer.start()
+        try:
+            for b in range(3):
+                shutil.copy(staged[b], os.path.join(indir, f"b{b}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        summ = read_windowed_summary(spark, os.path.join(root, "sink")).select(
+            F.col("window_start").cast("double").alias("hour_epoch"),
+            "name",
+            "tests",
+            "pass",
+            "fail",
+        )
+        rows = [tuple(r) for r in summ.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "hour_epoch double, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
 def q_ledger_resume_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kill-and-resume through the ValidationLedger (ledger.py): phase 1
     "crashes" after committing only partition 'A'; phase 2 resumes with a
@@ -1177,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ann_recall_lsh": q_ann_recall_lsh,
         "stream_windowed_events": q_stream_windowed_events,
+        "stream_late_events": q_stream_late_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
         "topk_join_embeddings": q_topk_join_embeddings,
         "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
@@ -2000,6 +2069,35 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(p1) AS BIGINT) AS "pass",
            CAST(COUNT(*) - SUM(p1) AS BIGINT) AS fail
     FROM base GROUP BY hour_epoch
+    """,
+        "stream_late_events": """
+    WITH e AS (
+      SELECT ts, value,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 3 AS batch
+      FROM events
+    ),
+    wm AS (
+      SELECT b.batch,
+             (SELECT MAX(epoch(e2.ts)) FROM e e2 WHERE e2.batch < b.batch) - 1800 AS wm
+      FROM (SELECT DISTINCT batch FROM e) b
+    ),
+    tagged AS (
+      SELECT e.h, e.value,
+             (wm.wm IS NOT NULL AND (e.h + 1) * 3600 <= wm.wm) AS late
+      FROM e JOIN wm USING (batch)
+    )
+    SELECT CAST(h * 3600 AS DOUBLE) AS hour_epoch, 'v_low' AS name,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM tagged WHERE NOT late GROUP BY h
+    UNION ALL
+    SELECT CAST(h * 3600 AS DOUBLE) AS hour_epoch, '_dropped_by_watermark' AS name,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(0 AS BIGINT) AS "pass",
+           CAST(COUNT(*) AS BIGINT) AS fail
+    FROM tagged WHERE late GROUP BY h
     """,
         "stream_to_ledger_events": """
     WITH base AS (

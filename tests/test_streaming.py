@@ -282,3 +282,99 @@ class TestCumulativeState:
             check_stream_cumulative(
                 sdf, ruleset(rule("value >= 0"), reference_rule("source", "t", "c")), by="source"
             )
+
+
+class TestLateDataAccounting:
+    def test_dropped_by_watermark_counters(self, spark, tmp_path):
+        """r5 (VERDICT ask #4): the foreachBatch windowed validator surfaces
+        per-window _dropped_by_watermark rows; every input row lands in
+        exactly one bucket (rule tests on its window, or the drop counter).
+        Lateness is enumerable: wm entering batch b = max ts of batches < b
+        minus the delay; a row drops iff its window END <= wm."""
+        import glob
+        import os
+        import shutil
+
+        from dataverifyr_spark.streaming import (
+            read_windowed_summary,
+            validate_stream_windowed_to_sink,
+        )
+
+        base = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+        def t(mins, secs=0):
+            return base + dt.timedelta(minutes=mins, seconds=secs)
+
+        batches = [
+            # batch 0: window 12:00 (3 rows) + one row at 12:10 (wm driver)
+            [(t(0, 0), 1.0), (t(0, 10), -1.0), (t(0, 30), 2.0), (t(10, 0), 3.0)],
+            # wm entering b1 = 12:10 - 1min = 12:09
+            # 3 rows in window 12:00 (end 12:01 <= wm -> DROPPED),
+            # 2 rows in window 12:09 (end 12:10 > wm -> on-time)
+            [(t(0, 20), 4.0), (t(0, 40), -2.0), (t(0, 50), 5.0),
+             (t(9, 30), -3.0), (t(9, 40), 6.0)],
+            # wm entering b2 = max(12:10 from b0, 12:09:40 from b1) - 1min
+            #                = 12:09 — batch 0's max drives it, not batch 1's
+            # rows in windows 12:08 and 12:05 (ends 12:09, 12:06 <= wm ->
+            # both DROPPED); row at 12:10:30 (window end 12:11 -> on-time)
+            [(t(8, 30), 7.0), (t(5, 0), 8.0), (t(10, 30), -4.0)],
+        ]
+        root = tmp_path / "late"
+        indir = root / "in"
+        os.makedirs(indir)
+        staged = []
+        for b, rows in enumerate(batches):
+            stage = str(root / f"stage{b}")
+            spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+                1
+            ).write.parquet(stage)
+            staged.append(glob.glob(os.path.join(stage, "part-*.parquet"))[0])
+
+        sdf = spark.readStream.schema("ts timestamp, value double").parquet(str(indir))
+        writer = validate_stream_windowed_to_sink(
+            sdf,
+            ruleset(rule("value >= 0", name="nonneg")),
+            time_col="ts",
+            sink_path=str(root / "sink"),
+            checkpoint_path=str(root / "ckpt"),
+            window="1 minute",
+            watermark="1 minute",
+        )
+        q = writer.start()
+        try:
+            for b in range(3):
+                shutil.copy(staged[b], str(indir / f"b{b}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        summ = {
+            (r["window_start"].minute, r["name"]): r
+            for r in read_windowed_summary(spark, str(root / "sink")).collect()
+        }
+        # drop counters: 3 late rows into window 12:00 (batch 1), 1 into 12:05
+        assert summ[(0, "_dropped_by_watermark")]["tests"] == 3
+        assert summ[(0, "_dropped_by_watermark")]["fail"] == 3
+        assert summ[(5, "_dropped_by_watermark")]["tests"] == 1
+        assert summ[(8, "_dropped_by_watermark")]["tests"] == 1
+        # rule rows cover exactly the on-time rows
+        assert summ[(0, "nonneg")]["tests"] == 3  # batch 0 only
+        assert summ[(0, "nonneg")]["fail"] == 1  # the -1.0
+        assert summ[(9, "nonneg")]["tests"] == 2 and summ[(9, "nonneg")]["fail"] == 1
+        assert summ[(10, "nonneg")]["tests"] == 2 and summ[(10, "nonneg")]["fail"] == 1
+        assert (5, "nonneg") not in summ and (8, "nonneg") not in summ
+        # full accounting: every input row is in a rule-tests or drop bucket
+        n_inputs = sum(len(b) for b in batches)
+        counted = sum(
+            r["tests"] for (_, name), r in summ.items()
+            if name in ("nonneg", "_dropped_by_watermark")
+        )
+        assert counted == n_inputs
+
+    def test_duration_parse_rejects_garbage(self):
+        from dataverifyr_spark.streaming.validate import _parse_duration_s
+
+        assert _parse_duration_s("90 seconds") == 90.0
+        assert _parse_duration_s("2 hours") == 7200.0
+        with pytest.raises(ValueError, match="duration"):
+            _parse_duration_s("fortnight")
