@@ -667,7 +667,9 @@ def q_suggest_rules_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounds for the 3 numerics, a value-set for the 5-value c_mktsegment,
     not-null for every null-free column, and — given datasets — a DRAFT
     reference_rule for the 25-value c_nationkey whose set is contained in
-    nation.n_nationkey), then check_data applies them back to the profiled
+    nation.n_nationkey, plus r5 PK drafts for the exactly-unique c_custkey
+    and c_name — HLL-shortlisted, exact-confirmed), then check_data applies
+    them back to the profiled
     tables.  The oracle pins exactly WHICH rules were induced and that every
     one self-passes (tests = rows, fail = 0)."""
     cust = _t(spark, sf_dir, "customer")
@@ -682,7 +684,8 @@ def q_suggest_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp induction: the events table's ts column yields a
     ``fresh_ts`` lower-bound rule (new batches must not backfill records
     older than the trusted slice's observed minimum), alongside the usual
-    bounds/set/not-null patterns — 11 rules, all self-passing."""
+    bounds/set/not-null patterns and the r5 PK draft for event_id — 12
+    rules, all self-passing."""
     ev = _t(spark, sf_dir, "events")
     rs = dv.suggest_rules(ev)
     return dv.check_data(ev, rs).select("name", "tests", "pass", "fail")
@@ -2233,8 +2236,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_rules_customer": """
     WITH n AS (SELECT COUNT(*) AS cnt FROM customer)
     SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
-    FROM n, (VALUES ('bounds_c_custkey'), ('notnull_c_custkey'),
-                    ('notnull_c_name'),
+    FROM n, (VALUES ('bounds_c_custkey'), ('unique_c_custkey'), ('notnull_c_custkey'),
+                    ('unique_c_name'), ('notnull_c_name'),
                     ('bounds_c_nationkey'), ('fk_c_nationkey'), ('notnull_c_nationkey'),
                     ('bounds_c_acctbal'), ('notnull_c_acctbal'),
                     ('set_c_mktsegment'), ('notnull_c_mktsegment')) AS r(name)
@@ -2242,7 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_rules_events": """
     WITH n AS (SELECT COUNT(*) AS cnt FROM events)
     SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
-    FROM n, (VALUES ('bounds_event_id'), ('notnull_event_id'),
+    FROM n, (VALUES ('bounds_event_id'), ('unique_event_id'), ('notnull_event_id'),
                     ('fresh_ts'), ('notnull_ts'),
                     ('bounds_user_id'), ('notnull_user_id'),
                     ('set_event_type'), ('notnull_event_type'),

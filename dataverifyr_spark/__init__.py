@@ -7,7 +7,13 @@ as distinct-ref joins; schema checks are driver-only metadata work.  See
 SURVEY.md for the full reference-parity map.
 """
 
-from .check import CheckDataError, check_data, check_data_by, reference_violations
+from .check import (
+    CheckDataError,
+    check_data,
+    check_data_by,
+    reference_violations,
+    uniqueness_violations,
+)
 from .describe import describe, describe_by
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
@@ -19,12 +25,14 @@ from .rules import (
     ReferenceRule,
     Rule,
     Ruleset,
+    UniquenessRule,
     bind_rules,
     data_column,
     reference_rule,
     rule,
     rule_meta,
     ruleset,
+    unique_rule,
 )
 
 __version__ = "0.1.0"
@@ -33,16 +41,19 @@ __all__ = [
     "rule",
     "ruleset",
     "reference_rule",
+    "unique_rule",
     "data_column",
     "rule_meta",
     "bind_rules",
     "Rule",
     "Ruleset",
     "ReferenceRule",
+    "UniquenessRule",
     "DataColumn",
     "check_data",
     "check_data_by",
     "reference_violations",
+    "uniqueness_violations",
     "CheckDataError",
     "filter_fails",
     "fail_predicate",

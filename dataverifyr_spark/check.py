@@ -44,7 +44,15 @@ from pyspark.sql import types as T
 
 from . import udf_warnings
 from .expr import CompileResult, ExprError, col_ref, compile_expr, get_called_functions
-from .rules import DataColumn, ReferenceRule, Rule, Ruleset, ruleset, validate_data_columns
+from .rules import (
+    DataColumn,
+    ReferenceRule,
+    Rule,
+    Ruleset,
+    UniquenessRule,
+    ruleset,
+    validate_data_columns,
+)
 
 __all__ = ["check_data", "CheckDataError", "RESULT_SCHEMA", "compile_rule_predicate"]
 
@@ -294,6 +302,76 @@ def _reference_ok_column(
     return joined, ok
 
 
+def _eval_uniqueness(df: DataFrame, r: "UniquenessRule", tests: int) -> dict[str, Any]:
+    """One key-only groupBy job: tests = Σ group counts, pass = rows in
+    singleton groups.  The projection ships ONLY the key columns into the
+    shuffle (at 10^12 rows the audio payload never moves); partial
+    aggregation combines duplicate keys map-side, and the second agg is a
+    single-row reduce.  allow_na rescues NULL-key rows FIRST, negate LAST
+    (the reference-rule flag order)."""
+    t0 = _time.perf_counter()
+    try:
+        missing = [c for c in r.unique_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"column(s) {missing} not in dataset")
+        keys = [F.col(c) for c in r.unique_cols]
+        null_key = None
+        for c in r.unique_cols:
+            cond = F.col(c).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
+        grouped = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(null_key.cast("int")).alias("__isnull"),
+        )
+        ok = F.col("__cnt") == 1
+        if r.allow_na:
+            ok = ok | (F.col("__isnull") == 1)
+        if r.negate:
+            ok = ~ok
+        row = grouped.agg(
+            F.sum(F.when(ok, F.col("__cnt")).otherwise(F.lit(0))).alias("p")
+        ).collect()[0]
+        return _result_row(r, tests, int(row["p"] or 0), elapsed=_time.perf_counter() - t0)
+    except Exception as exc:
+        return _result_row(r, tests, 0, error=_strip_error(exc), elapsed=_time.perf_counter() - t0)
+
+
+def uniqueness_violations(df: DataFrame, r: "UniquenessRule") -> DataFrame:
+    """Rows of ``df`` violating a uniqueness rule — the filter_fails
+    complement (filter_fails itself skips aggregation rules the way the
+    reference skips reference rules, R/filters.R:42-47).  A left-semi join
+    against the duplicated key set; only keys shuffle."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    keys = list(r.unique_cols)
+    null_key = None
+    for c in keys:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    # allow_na rescues NULL-key rows FIRST: they leave the candidate pool
+    # (and re-enter wholesale as violators under negation, flag order per
+    # R/data_column.R:353-358)
+    base = df.filter(~null_key) if r.allow_na else df
+    grouped = base.groupBy(*[F.col(c) for c in keys]).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    bad = F.col("__cnt") > 1
+    if r.negate:
+        bad = ~bad  # singleton keys become the violators
+    bad_keys = grouped.filter(bad).select(
+        *[F.col(c).alias(f"__bk_{c}") for c in keys]
+    )
+    # null-SAFE semi join: without allow_na a duplicated NULL-key group must
+    # still surface (SQL GROUP BY groups NULLs together; a plain equi-join
+    # would silently drop them)
+    join_cond = _reduce(_and, [base[c].eqNullSafe(bad_keys[f"__bk_{c}"]) for c in keys])
+    out = base.join(bad_keys, join_cond, "left_semi")
+    if r.allow_na and r.negate:
+        out = out.unionByName(df.filter(null_key))
+    return out
+
+
 def _eval_reference(
     df: DataFrame, r: ReferenceRule, datasets: Mapping[str, DataFrame], tests: int
 ) -> dict[str, Any]:
@@ -411,8 +489,9 @@ def check_data(
         for msg in schema_warns:
             warnings.warn(msg, stacklevel=2)
 
-    expr_rules = [r for r in rules if not isinstance(r, ReferenceRule)]
+    expr_rules = [r for r in rules if not isinstance(r, (ReferenceRule, UniquenessRule))]
     ref_rules = [r for r in rules if isinstance(r, ReferenceRule)]
+    uniq_rules = [r for r in rules if isinstance(r, UniquenessRule)]
 
     compiled = _compile_all(df, expr_rules)
     good = [c for c in compiled if c.pred is not None]
@@ -500,7 +579,9 @@ def check_data(
     else:
         ref_results = [_eval_reference(df, r, datasets, tests) for r in ref_rules]
 
-    all_rows = schema_rows + row_results + ref_results
+    uniq_results = [_eval_uniqueness(df, r, tests) for r in uniq_rules]
+
+    all_rows = schema_rows + row_results + ref_results + uniq_results
     result = spark.createDataFrame(
         [tuple(r[f.name] for f in RESULT_SCHEMA.fields) for r in all_rows], RESULT_SCHEMA
     )
@@ -526,7 +607,10 @@ def _apply_stop_gates(
     stop_on_schema_fail: bool,
 ) -> None:
     # message format per R/check_data.R:159-167
-    rule_rows = [r for r in rows if r["check_type"] in ("row_rule", "reference_rule")]
+    rule_rows = [
+        r for r in rows
+        if r["check_type"] in ("row_rule", "reference_rule", "uniqueness_rule")
+    ]
     schema_rows = [r for r in rows if r["check_type"] == "schema"]
     n_fail = sum(1 for r in rule_rows if r["fail"] > 0)
     n_warn = sum(1 for r in rows if r["warn"])
@@ -590,7 +674,10 @@ def check_data_by(
             "ruleset contains reference rules; pass datasets={'name': ref_df, ...} "
             "to check_data_by (they would otherwise be silently dropped)"
         )
-    expr_rules = [r for r in rules if not isinstance(r, ReferenceRule)]
+    uniq_rules = [r for r in rules if isinstance(r, UniquenessRule)]
+    expr_rules = [
+        r for r in rules if not isinstance(r, (ReferenceRule, UniquenessRule))
+    ]
 
     out: DataFrame | None = None
     if expr_rules:
@@ -656,6 +743,49 @@ def check_data_by(
             )
         )
         out = rows if out is None else out.unionByName(rows)
+
+    for r in uniq_rules:
+        # per-group uniqueness: ONE groupBy(by + keys) count, re-aggregated
+        # per group — keys-only projection, payload never shuffles.  Missing
+        # key columns raise (the _by contract has no error-row channel).
+        missing = [c for c in r.unique_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"uniqueness rule '{r.name}': column(s) {missing} not in DataFrame")
+        key_cols = [c for c in r.unique_cols if c not in by_cols]
+        null_key = None
+        for c in r.unique_cols:
+            cond = F.col(c).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
+        grouped = (
+            df.select(*[F.col(c) for c in by_cols + key_cols])
+            .groupBy(*[F.col(c) for c in by_cols + list(r.unique_cols)])
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.max(null_key.cast("int")).alias("__isnull"),
+            )
+        )
+        ok = F.col("__cnt") == 1
+        if r.allow_na:
+            ok = ok | (F.col("__isnull") == 1)
+        if r.negate:
+            ok = ~ok
+        rows = (
+            grouped.groupBy(*[F.col(c) for c in by_cols])
+            .agg(
+                F.sum(F.col("__cnt")).alias("tests"),
+                F.sum(F.when(ok, F.col("__cnt")).otherwise(F.lit(0))).alias("pass"),
+            )
+            .select(
+                *by_cols,
+                F.lit(r.name).alias("name"),
+                F.lit(r.expr).alias("expr"),
+                "tests",
+                "pass",
+                (F.col("tests") - F.col("pass")).alias("fail"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+
     if out is None:
         raise ValueError("no compilable rules for check_data_by")
     return out
@@ -665,7 +795,11 @@ def combined_fail_predicate(rules: Ruleset) -> Column:
     """OR of all per-rule failure predicates — one scan finds every violator."""
     from .filters import fail_predicate
 
-    preds = [fail_predicate(r) for r in rules if not isinstance(r, ReferenceRule)]
+    preds = [
+        fail_predicate(r)
+        for r in rules
+        if not isinstance(r, (ReferenceRule, UniquenessRule))
+    ]
     if not preds:
         return F.lit(False)
     return reduce(or_, preds)

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .expr import col_ref
-from .rules import ReferenceRule, Rule, Ruleset
+from .rules import ReferenceRule, Rule, Ruleset, UniquenessRule
 
 __all__ = ["filter_fails", "fail_predicate"]
 
@@ -55,7 +55,7 @@ def fail_predicate(r: Rule) -> Column:
 
 def _rules_from_result(res: DataFrame | Ruleset) -> list[Rule]:
     if isinstance(res, Ruleset):
-        return [r for r in res if not isinstance(r, ReferenceRule)]
+        return [r for r in res if not isinstance(r, (ReferenceRule, UniquenessRule))]
     if isinstance(res, Rule):
         return [res]
     # a check_data summary DataFrame: keep failed row_rules only

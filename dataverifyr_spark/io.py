@@ -19,7 +19,7 @@ from typing import Any
 
 import yaml
 
-from .rules import DataColumn, ReferenceRule, Rule, Ruleset
+from .rules import DataColumn, ReferenceRule, Rule, Ruleset, UniquenessRule
 
 __all__ = ["read_rules", "write_rules"]
 
@@ -38,6 +38,9 @@ def _rule_to_mapping(r: Rule) -> dict[str, Any]:
     }
     if isinstance(r, ReferenceRule):
         d.update(local_col=r.local_col, ref_dataset=r.ref_dataset, ref_col=r.ref_col)
+    if isinstance(r, UniquenessRule):
+        # scalar (comma-joined) so the R-byte YAML writer stays scalar-only
+        d.update(unique_cols=",".join(r.unique_cols))
     d.update(r.extra)
     d["index"] = r.index
     return d
@@ -147,6 +150,16 @@ def _mapping_to_rule(d: dict[str, Any]) -> Rule:
             local_col=local_col,
             ref_dataset=ref_dataset,
             ref_col=ref_col,
+            extra=d,
+        )
+    if "unique_cols" in d:
+        cols = tuple(c.strip() for c in str(d.pop("unique_cols")).split(",") if c.strip())
+        return UniquenessRule(
+            expr=expr or f"is_unique({', '.join(cols)})",
+            name=name or f"Uniqueness rule: {', '.join(cols)}",
+            allow_na=allow_na,
+            negate=negate,
+            unique_cols=cols,
             extra=d,
         )
     if not expr:

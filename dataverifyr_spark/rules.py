@@ -10,6 +10,7 @@ data_column declarations (R/data_column.R:45-69) and rule_meta
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -158,6 +159,64 @@ class ReferenceRule(Rule):
             self.ref_dataset,
             self.ref_col,
         )
+
+
+@dataclass(frozen=True, repr=False)
+class UniquenessRule(Rule):
+    """PK / uniqueness rule: a row passes iff its key tuple occurs exactly
+    once in the dataset.  Graft extension (the reference has no aggregation
+    rules — R rules are row-local, R/rule.R:42-62); evaluated as a key-only
+    ``groupBy`` count, never through the expression compiler.  ``allow_na``
+    rescues rows with a NULL in any key column BEFORE negation (the
+    reference-rule flag order, R/data_column.R:353-358); without it a NULL
+    key groups with its equal-NULL peers like SQL ``GROUP BY``."""
+
+    unique_cols: tuple[str, ...] = ()
+
+    @property
+    def check_type(self) -> str:
+        return "uniqueness_rule"
+
+    def _extra_fields(self) -> list[tuple[str, Any]]:
+        out: list[tuple[str, Any]] = [("unique_cols", list(self.unique_cols))]
+        out += list(self.extra.items())
+        if self.index is not None:
+            out.append(("index", self.index))
+        return out
+
+    def symbols(self) -> list[str]:
+        return list(self.unique_cols)
+
+    def _dedupe_key(self) -> tuple:
+        return (
+            self.check_type,
+            self.expr,
+            self.name,
+            self.allow_na,
+            self.negate,
+            self.unique_cols,
+        )
+
+
+def unique_rule(
+    *cols: str,
+    name: str | None = None,
+    allow_na: bool = False,
+    negate: bool = False,
+    **extra: Any,
+) -> UniquenessRule:
+    """Construct a uniqueness (PK) rule over one or more key columns."""
+    if not cols or any(not isinstance(c, str) or not c for c in cols):
+        raise ValueError("unique_rule needs at least one non-empty column name")
+    joined = ", ".join(cols)
+    return UniquenessRule(
+        expr=f"is_unique({joined})",
+        name=name or f"Uniqueness rule: {joined}",
+        allow_na=bool(allow_na),
+        negate=bool(negate),
+        unique_cols=tuple(cols),
+        extra=dict(extra),
+    )
 
 
 def rule(
@@ -336,13 +395,11 @@ class Ruleset:
 def _with_index(r: Rule, index: int) -> Rule:
     if r.index == index:
         return r
-    kwargs = dict(
-        expr=r.expr, name=r.name, allow_na=r.allow_na, negate=r.negate, index=index, extra=r.extra
-    )
-    if isinstance(r, ReferenceRule):
-        kwargs.update(local_col=r.local_col, ref_dataset=r.ref_dataset, ref_col=r.ref_col)
-        return ReferenceRule(**kwargs)
-    return Rule(**kwargs)
+    # dataclasses.replace preserves the concrete subtype (ReferenceRule,
+    # UniquenessRule, ...) — an explicit Rule(**kwargs) silently downgraded
+    # subclasses added after it was written (r5 bug: unique rules lost their
+    # type on ruleset() reindexing and fell into the expr-compile path)
+    return dataclasses.replace(r, index=index)
 
 
 def ruleset(

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .rules import Rule, Ruleset, reference_rule, rule, ruleset
+from .rules import Rule, Ruleset, reference_rule, rule, ruleset, unique_rule
 
 __all__ = ["suggest_rules"]
 
@@ -71,6 +71,9 @@ def suggest_rules(
       rule round-trips through YAML and the expr dialect)
     * column with zero observed NULLs → ``!is.na(col)`` (the contract that
       it stays that way), unless ``include_null_rules=False``
+    * id-shaped (integer/string) null-free column that is exactly unique →
+      a :func:`unique_rule` PK draft (``unique_col``), HLL-shortlisted and
+      exact-confirmed (see inline comment)
     * with ``datasets={'name': ref_df, ...}``: low-cardinality string or
       integer column whose observed value set is CONTAINED in some
       same-type-family column of a provided table → a draft
@@ -84,7 +87,7 @@ def suggest_rules(
     edit them, ``write_rules`` them to YAML, or ``check_data`` directly.
     """
     fields = list(df.schema.fields)
-    aggs: list = []
+    aggs: list = [F.count(F.lit(1)).alias("n__")]
     for f in fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{f.name}"))
@@ -94,8 +97,13 @@ def suggest_rules(
         if isinstance(f.dataType, _TEMPORAL):
             aggs.append(F.min(c).alias(f"tmin__{f.name}"))
         if _type_family(f.dataType) is not None:
-            aggs.append(F.approx_count_distinct(c).alias(f"nd__{f.name}"))
+            # one sketch serves both ends of the cardinality spectrum:
+            # small sets gate %in%/FK candidacy, near-n gates PK candidacy
+            # (rsd 0.02 so the 0.8n shortlist threshold sits ~10σ clear of a
+            # truly-unique column's estimate)
+            aggs.append(F.approx_count_distinct(c, 0.02).alias(f"nd__{f.name}"))
     prof = df.agg(*aggs).collect()[0].asDict()
+    n_rows = int(prof["n__"] or 0)
 
     # value sets only for columns the sketch says are small (2x slack for
     # HLL error); ONE extra job collecting all small sets together.  Integer
@@ -120,6 +128,28 @@ def suggest_rules(
                 value_sets[n] = vals
 
     fk_targets = _fk_containment(df, fields, value_sets, datasets) if datasets else {}
+
+    # PK candidacy (r5): id-shaped columns (integer/string — keys, not
+    # measures) with zero NULLs whose HLL estimate is within 20% of n are
+    # shortlisted, then ONE exact count_distinct aggregation confirms
+    # nd == n before a uniqueness rule is drafted — the sketch alone would
+    # let a 2%-duplicated column masquerade as a PK.  The confirm job plans
+    # an Expand over the candidates (rows × n_candidates); candidates are
+    # typically the 1-2 id columns, and the scan carries only them.
+    pk_shortlist = [
+        f.name
+        for f in fields
+        if _type_family(f.dataType) is not None
+        and int(prof[f"na__{f.name}"] or 0) == 0
+        and n_rows > 1
+        and (prof.get(f"nd__{f.name}") or 0) >= 0.8 * n_rows
+    ]
+    pk_cols: list[str] = []
+    if pk_shortlist:
+        exact = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in pk_shortlist]
+        ).collect()[0]
+        pk_cols = [c for c in pk_shortlist if int(exact[c]) == n_rows]
 
     out: list[Rule] = []
     for f in fields:
@@ -161,6 +191,8 @@ def suggest_rules(
                     name, ds_name, ref_col, name=f"fk_{name}", allow_na=n_na > 0
                 )
             )
+        if name in pk_cols:
+            out.append(unique_rule(name, name=f"unique_{name}"))
         if include_null_rules and n_na == 0:
             out.append(rule(f"!is.na({name})", name=f"notnull_{name}"))
     if not out:

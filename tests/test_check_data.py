@@ -332,3 +332,117 @@ class TestCheckDataByReference:
         ).collect()[0]
         # 10 hits, 99 misses, NULL misses (%in% never NA)
         assert (row["tests"], row["pass"], row["fail"]) == (3, 1, 2)
+
+
+class TestUniquenessRule:
+    """r5 (VERDICT ask #5): aggregation-shaped PK rule — key-only groupBy,
+    never the expr compiler."""
+
+    @pytest.fixture(scope="class")
+    def kdf(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "a"), (2, "b"), (None, "c"), (None, "d"), (5, "e")],
+            "k int, g string",
+        ).cache()
+
+    def test_flag_matrix(self, spark, kdf):
+        from dataverifyr_spark import check_data, ruleset, unique_rule
+
+        def run(**kw):
+            r = check_data(kdf, ruleset(unique_rule("k", name="u", **kw))).collect()[0]
+            assert r["check_type"] == "uniqueness_rule"
+            return (r["tests"], r["pass"], r["fail"])
+
+        # groups: {1:1 row, 2:2, NULL:2, 5:1} — NULLs group together (SQL)
+        assert run() == (6, 2, 4)
+        assert run(allow_na=True) == (6, 4, 2)  # NULL-key rows rescued
+        assert run(negate=True) == (6, 4, 2)  # duplicated rows pass
+        # rescue FIRST, negate LAST: NULL-key rescued-to-ok then negated
+        assert run(negate=True, allow_na=True) == (6, 2, 4)
+
+    def test_missing_column_is_error_row(self, spark, kdf):
+        from dataverifyr_spark import check_data, ruleset, unique_rule
+
+        r = check_data(kdf, ruleset(unique_rule("nope"))).collect()[0]
+        assert r["error"] and (r["pass"], r["fail"]) == (0, 6)
+
+    def test_violations_include_null_key_groups(self, spark, kdf):
+        from dataverifyr_spark import unique_rule, uniqueness_violations
+
+        got = sorted(
+            ((r["k"], r["g"]) for r in uniqueness_violations(kdf, unique_rule("k")).collect()),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+        )
+        # duplicated NULL-key group must surface (null-safe semi join)
+        assert got == [(2, "a"), (2, "b"), (None, "c"), (None, "d")]
+        resc = uniqueness_violations(kdf, unique_rule("k", allow_na=True)).collect()
+        assert sorted((r["k"], r["g"]) for r in resc) == [(2, "a"), (2, "b")]
+        neg = uniqueness_violations(kdf, unique_rule("k", negate=True, allow_na=True))
+        ks = sorted((r["g"] for r in neg.collect()))
+        assert ks == ["a", "c", "d", "e"]  # singletons (1,5) + rescued NULLs
+
+    def test_check_data_by_per_group(self, spark):
+        from dataverifyr_spark import check_data_by, ruleset, unique_rule
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 1), ("x", 2), ("y", 1), ("y", 2)], "g string, k int"
+        )
+        got = {
+            r["g"]: (r["tests"], r["pass"], r["fail"])
+            for r in check_data_by(df, ruleset(unique_rule("k", name="u")), by="g").collect()
+        }
+        # uniqueness is evaluated WITHIN each group
+        assert got["x"] == (3, 1, 2) and got["y"] == (2, 2, 0)
+
+    def test_ruleset_reindex_preserves_subtype(self, spark):
+        """r5 bug: ruleset() reindexing downgraded Rule subclasses to plain
+        Rule, silently routing unique rules into the expr compiler."""
+        from dataverifyr_spark import UniquenessRule, ruleset, unique_rule
+        from dataverifyr_spark.rules import ReferenceRule, reference_rule
+
+        rs = ruleset(unique_rule("a"), reference_rule("b", "t", "c"))
+        assert isinstance(rs[0], UniquenessRule) and rs[0].index == 1
+        assert isinstance(rs[1], ReferenceRule) and rs[1].index == 2
+
+    def test_yaml_round_trip(self, spark, tmp_path):
+        from dataverifyr_spark import (
+            UniquenessRule,
+            read_rules,
+            ruleset,
+            unique_rule,
+            write_rules,
+        )
+
+        p = str(tmp_path / "u.yaml")
+        write_rules(ruleset(unique_rule("k", "g", name="pk", allow_na=True)), p)
+        r2 = list(read_rules(p))[0]
+        assert isinstance(r2, UniquenessRule)
+        assert r2.unique_cols == ("k", "g") and r2.allow_na and r2.name == "pk"
+
+    def test_filter_fails_skips_uniqueness(self, spark, kdf):
+        from dataverifyr_spark import filter_fails, rule, ruleset, unique_rule
+
+        rs = ruleset(rule("k > 0", name="pos"), unique_rule("k", name="u"))
+        out = filter_fails(rs, kdf, tag=True).collect()
+        # only the expr rule's violations (NULL k fails k>0's anti-guard)
+        assert all(r["failed_rule"] == "k > 0" for r in out)
+
+    def test_suggest_pk_induction(self, spark):
+        from dataverifyr_spark import check_data, suggest_rules
+
+        cust = spark.createDataFrame(
+            [(i, f"name{i}", i % 5, float(i % 97)) for i in range(300)],
+            "id int, nm string, seg int, bal double",
+        )
+        rs = suggest_rules(cust)
+        names = [r.name for r in rs]
+        assert "unique_id" in names and "unique_nm" in names
+        # doubles are measures, not keys; low-cardinality ints are not PKs
+        assert "unique_bal" not in names and "unique_seg" not in names
+        res = {r["name"]: r for r in check_data(cust, rs).collect()}
+        assert res["unique_id"]["fail"] == 0 and res["unique_nm"]["fail"] == 0
+        # near-unique column shortlists but exact-confirm rejects it
+        near = spark.createDataFrame(
+            [(i if i else 1, "x") for i in range(300)], "id int, pad string"
+        )
+        assert "unique_id" not in [r.name for r in suggest_rules(near)]
