@@ -306,6 +306,25 @@ def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def q_bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: REAL BPE token counting (operators/text.py bpe_train +
+    bpe_token_count, VERDICT ask #9).  The gate TRAINS the 20-merge table at
+    runtime — one word-count job, driver-side Sennrich merge loop over the
+    distinct vocabulary (uniform=True, so the table depends only on the
+    SF-invariant word set) — then counts tokens with the pure-Catalyst
+    chained-replace encoder.  The oracle hard-codes the SAME merge table as
+    nested REPLACEs over the space-joined character split: if training,
+    tie-breaking, or the encoder's replace semantics drift, the hash
+    mismatches."""
+    from dataverifyr_spark.operators.text import bpe_token_count, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=20, uniform=True)
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text"), merges).alias("n_bpe")
+    )
+
+
 def q_ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: the FULL ANN stack composed and driver-verified (VERDICT ask #8)
     — coarse quantizer (IVF, fixed centroids = vectors 1..8) routes the
@@ -1244,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_stats_documents": q_token_stats_documents,
+        "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
@@ -1565,6 +1585,28 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN (SELECT DISTINCT qid, ncand FROM approx) x ON t.qid = x.qid
     WHERE t.rn <= 10
     GROUP BY t.qid
+    """
+
+    # bpe_token_stats — the merge table bpe_train(uniform=True, 20) learns
+    # from the SF-invariant document vocabulary, hard-coded here: training
+    # drift or encoder-semantics drift breaks the hash
+    _bpe_merges = [
+        ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"), ("s", "t"),
+        ("a", "l"), ("a", "r"), ("a", "t"), ("m", "er"), ("p", "ar"),
+        ("u", "p"), ("a", "b"), ("a", "g"), ("a", "m"), ("a", "n"),
+        ("a", "s"), ("ab", "l"), ("abl", "e"), ("ag", "g"), ("al", "l"),
+    ]
+    _bpe_expr = "TRIM(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for _a, _b in _bpe_merges:
+        _bpe_expr = f"REPLACE({_bpe_expr}, '{_a} {_b}', '{_a}{_b}')"
+    bpe_token_stats_sql = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w = '' THEN 0
+                         ELSE array_length(string_split({_bpe_expr}, ' ')) END) AS INT) AS n_bpe
+    FROM words GROUP BY doc_id
     """
 
     # drift PSI — replicate drift.py's bucket/psi math exactly:
@@ -2325,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_lineitem": uniqueness,
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
+        "bpe_token_stats_documents": bpe_token_stats_sql,
         "quality_documents": quality,
         "lang_scores_documents": lang_scores,
         "topk_embeddings": topk,
