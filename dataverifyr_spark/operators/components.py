@@ -30,6 +30,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in the edge list; the
     component id is the minimum node id of the component.
@@ -50,6 +51,10 @@ def connected_components(
 
     Warns (and returns the partial labeling) if ``max_iter`` rounds pass
     without reaching the fixpoint — component ids may then be split.
+
+    ``stats``: pass a dict to receive ``{"rounds": n, "converged": bool}`` —
+    production observability for diameter drift (a dedup graph suddenly
+    needing 20 rounds means a giant quasi-duplicate cluster appeared).
     """
     # undirected edge list, both directions
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -58,7 +63,9 @@ def connected_components(
 
     labels = both.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = (
             both.join(labels, "u")
             .select(F.col("v").alias("u"), "label")
@@ -81,6 +88,9 @@ def connected_components(
             converged = True
             break
     both.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         warnings.warn(
             f"connected_components did not converge within max_iter={max_iter} "

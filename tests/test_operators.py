@@ -1069,3 +1069,74 @@ class TestBpe:
             plan_df.explain(True)
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Python" not in phys, phys
+
+
+class TestConnectedComponentsStress:
+    """r5 (VERDICT ask #7): adversarial chain/star topologies — round count
+    pinned to graph diameter, logical plan bounded by localCheckpoint
+    (lineage must NOT grow with rounds), wall time linear-ish in rounds."""
+
+    def _plan_size(self, df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        return len(buf.getvalue())
+
+    def test_chain_rounds_equal_diameter_plus_confirm(self, spark):
+        from dataverifyr_spark.operators.components import connected_components
+
+        def chain(n):
+            return spark.createDataFrame(
+                [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+            )
+
+        stats = {}
+        comps = connected_components(chain(25), max_iter=60, stats=stats)
+        rows = {r["node"]: r["component"] for r in comps.collect()}
+        assert set(rows.values()) == {0} and len(rows) == 25
+        # min label walks one hop per round: 24 changing rounds + 1 confirm
+        assert stats == {"rounds": 25, "converged": True}
+        # lineage bound: the returned plan must not encode 25 rounds of
+        # history — compare against a 5-node chain's plan size
+        small = connected_components(chain(5), max_iter=10)
+        big_sz, small_sz = self._plan_size(comps), self._plan_size(small)
+        assert big_sz < small_sz * 2, (big_sz, small_sz)
+
+    def test_star_converges_in_two_rounds_at_10x(self, spark):
+        """Star = the giant-component shape dedup actually produces (one hub,
+        many leaves): rounds stay 2 regardless of leaf count — 10x the data
+        must NOT mean more rounds."""
+        from dataverifyr_spark.operators.components import connected_components
+
+        for leaves in (2_000, 20_000):
+            edges = spark.range(1, leaves + 1).select(
+                F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+            )
+            stats = {}
+            comps = connected_components(edges, max_iter=10, stats=stats)
+            assert stats == {"rounds": 2, "converged": True}, (leaves, stats)
+            agg = comps.groupBy("component").count().collect()
+            assert len(agg) == 1 and agg[0]["count"] == leaves + 1
+
+    def test_chain_wall_time_scales_with_rounds_not_explodes(self, spark):
+        """2x the chain length = 2x the rounds; wall time must grow roughly
+        linearly (a lineage leak grows super-linearly and OOMs the driver
+        around diameter ~10 — memory: cache() alone does not truncate).
+        Bound is deliberately loose (steal-noise on this box reaches 8x)."""
+        import time
+
+        from dataverifyr_spark.operators.components import connected_components
+
+        def run(n):
+            edges = spark.createDataFrame(
+                [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+            )
+            t0 = time.perf_counter()
+            connected_components(edges, max_iter=2 * n).count()
+            return time.perf_counter() - t0
+
+        t20, t40 = run(20), run(40)
+        assert t40 < t20 * 10, (t20, t40)
