@@ -203,6 +203,24 @@ def bench_queries(
         lambda: dv.check_data(video_probe(h264), h264_rules).collect(),
     )
 
+    # MJPEG (round 5): REAL compressed-video pixel decode — RIFF/marker
+    # container walk by offsets, every 2nd frame through the numpy JPEG
+    # entropy/DCT path; cost per clip tracks sampled-frame pixels, the
+    # expensive arm of the video family
+    from dataverifyr_spark.operators.mjpeg import mjpeg_videos_table
+
+    mjp = mjpeg_videos_table(spark, N_MJPEG, num_partitions=parts).cache()
+    mjp.count()
+    mjpeg_rules = dv.ruleset(
+        dv.rule("vid_valid", name="decodes"),
+        dv.rule("vid_n_frames >= 5", name="enough_frames", allow_na=True),
+        dv.rule("vid_mean_luma > 10", name="not_black", allow_na=True),
+    )
+    run(
+        "video_validate_mjpeg",
+        lambda: dv.check_data(video_probe(mjp), mjpeg_rules).collect(),
+    )
+
     # per-partition profiling (round 4): ONE groupBy(key).agg(fused stats)
     # job for every group x column, in-plan unpivot, no driver loop
     run(
@@ -248,12 +266,14 @@ def bench_queries(
     clips.unpersist()
     vids.unpersist()
     h264.unpersist()
+    mjp.unpersist()
     longs.unpersist()
     return timings, spreads, n_rows
 
 
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
 N_VIDEOS = int(os.environ.get("SPARK_GRAFT_BENCH_VIDEOS", "10000"))
+N_MJPEG = int(os.environ.get("SPARK_GRAFT_BENCH_MJPEG", "4000"))
 N_LONG_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_LONG_CLIPS", "3000"))
 
 
@@ -495,6 +515,10 @@ def main() -> None:
                 "validated_h264_containers_per_sec": round(
                     N_VIDEOS / timings["video_validate_h264"], 1
                 ),
+                "validated_mjpeg_videos_per_sec": round(
+                    N_MJPEG / timings["video_validate_mjpeg"], 1
+                ),
+                "n_mjpeg": N_MJPEG,
                 "n_videos": N_VIDEOS,
                 "validated_audio_segments_per_sec": round(
                     getattr(bench_queries, "n_seg_rows", N_LONG_CLIPS * 4)
