@@ -306,6 +306,20 @@ def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def q_unique_rule_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: the UniquenessRule (PK) type oracled DIRECTLY (the suggest gates
+    only assert self-pass).  Two rules in one check_data call: the composite
+    (l_orderkey, l_linenumber) key IS unique (full pass) while l_orderkey
+    alone is not (rows in multi-line orders fail) — the oracle recomputes
+    singleton-group row counts for both keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    rs = dv.ruleset(
+        dv.unique_rule("l_orderkey", "l_linenumber", name="pk_composite"),
+        dv.unique_rule("l_orderkey", name="pk_orderkey_alone"),
+    )
+    return dv.check_data(li, rs).select(*_SUMMARY_COLS)
+
+
 def q_bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: REAL BPE token counting (operators/text.py bpe_train +
     bpe_token_count, VERDICT ask #9).  The gate TRAINS the 20-merge table at
@@ -1264,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_stats_documents": q_token_stats_documents,
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
+        "unique_rule_lineitem": q_unique_rule_lineitem,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
@@ -2368,6 +2383,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
+        "unique_rule_lineitem": """
+    WITH g1 AS (
+      SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ), g2 AS (
+      SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'uniqueness_rule' AS check_type, 'pk_composite' AS name,
+           'is_unique(l_orderkey, l_linenumber)' AS expr,
+           FALSE AS allow_na, FALSE AS negate,
+           CAST(SUM(c) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(SUM(c) - SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT) AS fail
+    FROM g1
+    UNION ALL
+    SELECT 'uniqueness_rule', 'pk_orderkey_alone', 'is_unique(l_orderkey)',
+           FALSE, FALSE,
+           CAST(SUM(c) AS BIGINT),
+           CAST(SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT),
+           CAST(SUM(c) - SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT)
+    FROM g2
+    """,
         "quality_documents": quality,
         "lang_scores_documents": lang_scores,
         "topk_embeddings": topk,
