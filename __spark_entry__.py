@@ -863,6 +863,31 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(truth, approx)
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: recall@k for the BATCH IVF searcher (recall.ivf_topk_join — probe
+    lists derived per query by a Catalyst array_sort over centroid literals,
+    corpus joined on cluster equality, ONE job for the whole sample).  Fixed
+    centroids (vectors 5..12) so the oracle replicates coarse assignment,
+    per-query probe selection, candidate membership, exact truth top-k and
+    the recall fractions."""
+    from dataverifyr_spark.operators.ivf import ivf_index
+    from dataverifyr_spark.operators.recall import ivf_topk_join, recall_report
+    from dataverifyr_spark.operators.similarity import topk_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").between(5, 12)).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    truth = topk_join(corpus, queries, k=10)
+    approx = ivf_topk_join(ivf_index(corpus, cents), cents, queries, k=10, nprobe=2)
+    return recall_report(truth, approx)
+
+
 def q_mjpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: REAL compressed-video pixel decode (operators/mjpeg.py, retires
     decode_image_stub).  The fixture alternates AVI/RIFF and bare-stream
@@ -1316,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "stream_windowed_events": q_stream_windowed_events,
         "stream_late_events": q_stream_late_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
@@ -2509,4 +2535,66 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": ivf_topk_sql,
         "lsh_topk_embeddings": lsh_topk_sql,
         "ann_recall_lsh": ann_recall_lsh_sql,
+        "ann_recall_ivf": """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    cents AS (SELECT vec_id - 5 AS cid, v AS cv FROM e WHERE vec_id BETWEEN 5 AND 12),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    cassign AS (
+      SELECT a.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)
+                        + list_dot_product(c.cv, c.cv) ASC, c.cid ASC
+             ) AS rn
+      FROM corpus a CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, cid FROM cassign WHERE rn = 1),
+    qprobe AS (
+      SELECT q.qid, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+                        + list_dot_product(c.cv, c.cv) ASC, c.cid ASC
+             ) AS rn
+      FROM q CROSS JOIN cents c
+    ),
+    probes AS (SELECT qid, cid FROM qprobe WHERE rn <= 2),
+    truth AS (
+      SELECT q.qid, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(c.v, q.qv)
+                        / (sqrt(list_dot_product(c.v, c.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        c.vec_id ASC) AS rn
+      FROM q CROSS JOIN corpus c
+    ),
+    cand AS (
+      SELECT q.qid, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM q
+      JOIN probes p ON p.qid = q.qid
+      JOIN assigned a ON a.cid = p.cid
+      JOIN corpus c ON c.vec_id = a.vec_id
+    ),
+    approx AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY qid) AS ncand
+      FROM cand
+    )
+    SELECT t.qid AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall,
+           CAST(COALESCE(MAX(x.ncand), 0) AS BIGINT) AS n_candidates
+    FROM truth t
+    LEFT JOIN (SELECT * FROM approx WHERE rn <= 10) a
+           ON t.qid = a.qid AND t.vec_id = a.vec_id
+    LEFT JOIN (SELECT DISTINCT qid, ncand FROM approx) x ON t.qid = x.qid
+    WHERE t.rn <= 10
+    GROUP BY t.qid
+    """,
     }
