@@ -324,3 +324,25 @@ class TestApproxPlanShape:
         # and the public surface agrees end-to-end
         out = describe(df, approx=True)
         assert out.count() == 3
+
+
+class TestMostFrequentByPlanShape:
+    def test_approx_with_topk_still_no_expand(self, spark):
+        """describe_by(approx=True, top_n>0) adds the keyed top-k join but
+        must stay Expand-free (the at-scale plan: sketch agg + window
+        group-limit + broadcast join, no row replication)."""
+        import contextlib
+        import io
+
+        from dataverifyr_spark import describe_by
+
+        d = spark.createDataFrame(
+            [("g", 1, "a"), ("g", 2, "b"), ("h", 3, "c")], "g string, n int, s string"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            describe_by(d, by="g", approx=True, top_n=3).explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "Expand" not in phys, phys
+        # the top-n is pre-limited before the shuffle (WindowGroupLimit)
+        assert "WindowGroupLimit" in phys

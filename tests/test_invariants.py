@@ -133,3 +133,64 @@ class TestEmptyInputs:
         assert dv.filter_fails(dv.ruleset(dv.rule("x > 0")), empty, tag=True).count() == 0
         d = {r["var"]: r for r in dv.describe(empty).collect()}
         assert d["x"]["n"] == 0 and d["x"]["most_frequent"] == ""
+
+
+class TestUniquenessInvariants:
+    """Seeded algebraic invariants of the r5 UniquenessRule against a
+    driver-side Counter reference, across the flag matrix."""
+
+    @pytest.mark.parametrize("seed", [11, 23, 37])
+    def test_counts_match_counter_reference(self, spark, seed):
+        import random as _random
+        from collections import Counter
+
+        import dataverifyr_spark as dv
+
+        rng = _random.Random(seed)
+        vals = [rng.choice([None] + list(range(8))) for _ in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], "k int")
+        counts = Counter(vals)
+
+        def expected(allow_na, negate):
+            p = 0
+            for v in vals:
+                ok = counts[v] == 1
+                if allow_na:
+                    ok = ok or v is None
+                if negate:
+                    ok = not ok
+                p += ok
+            return p
+
+        for allow_na in (False, True):
+            for negate in (False, True):
+                row = dv.check_data(
+                    df, dv.ruleset(dv.unique_rule("k", allow_na=allow_na, negate=negate))
+                ).collect()[0]
+                exp = expected(allow_na, negate)
+                assert (row["tests"], row["pass"]) == (200, exp), (allow_na, negate)
+                # violations complement: |violations| == fail
+                viol = dv.uniqueness_violations(
+                    df, dv.unique_rule("k", allow_na=allow_na, negate=negate)
+                ).count()
+                assert viol == row["fail"], (allow_na, negate)
+
+    @pytest.mark.parametrize("seed", [5])
+    def test_grouped_sums_to_global_when_key_includes_group(self, spark, seed):
+        """check_data_by on (group) with key (group, k) must sum to the
+        global check of the composite key — the partition-decomposition
+        property that makes the ledger's per-partition uniqueness rows
+        meaningful."""
+        import random as _random
+
+        import dataverifyr_spark as dv
+
+        rng = _random.Random(seed)
+        rows = [(rng.choice("ab"), rng.randint(0, 20)) for _ in range(300)]
+        df = spark.createDataFrame(rows, "g string, k int")
+        by_rows = dv.check_data_by(
+            df, dv.ruleset(dv.unique_rule("g", "k", name="u")), by="g"
+        ).collect()
+        glob = dv.check_data(df, dv.ruleset(dv.unique_rule("g", "k", name="u"))).collect()[0]
+        assert sum(r["tests"] for r in by_rows) == glob["tests"] == 300
+        assert sum(r["pass"] for r in by_rows) == glob["pass"]
