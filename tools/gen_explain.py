@@ -140,3 +140,47 @@ with open("/root/repo/EXPLAIN.md","w") as f:
     for title, plan in sections:
         f.write(f"\n## {title}\n\n```\n{plan}\n```\n")
 print("written")
+
+# ---- round 5 additions (appended after the file write above ran once; we
+# rebuild sections and rewrite below) ----
+
+# keyed most_frequent: stats agg + WindowGroupLimit top-k side broadcast-joined
+mf = dv.describe_by(cust.select("c_mktsegment","c_nationkey"), by="c_mktsegment", approx=True, top_n=3)
+mfplan = cap(mf)
+assert "WindowGroupLimit" in mfplan and "Expand" not in mfplan, mfplan
+sections.append(("describe_by keyed most_frequent (approx: no Expand; WindowGroupLimit pre-limits top-n before the shuffle; tiny mf side broadcast-joins)", mfplan))
+
+# uniqueness (PK) rule: key-only projection -> two-level hash aggregate
+from dataverifyr_spark.check import _eval_uniqueness  # plan shape via the same exprs
+uniq_grouped = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__cnt"))
+uplan = cap(uniq_grouped.agg(F.sum(F.when(F.col("__cnt")==1, F.col("__cnt")).otherwise(0)).alias("p")))
+assert "ReadSchema: struct<l_orderkey" in uplan, uplan  # payload pruned to the key
+sections.append(("Uniqueness (PK) rule (key-only ReadSchema; partial-agg groupBy count -> single-row reduce)", uplan))
+
+# BPE token count: pure Catalyst (no Python node), whole-stage codegen
+from dataverifyr_spark.operators.text import bpe_token_count
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+bplan = cap(docs.select(bpe_token_count(F.col("text"), [("e","r"),("i","n"),("s","t")]).alias("n_bpe")))
+assert "Python" not in bplan, bplan  # HOF aggregate/transform: JVM eval, outside codegen
+sections.append(("BPE token count (chained literal replaces inside a JVM higher-order fold — zero Python in the row path)", bplan))
+
+# batch IVF searcher: probe-list explode on the broadcast query side, equi-join
+from dataverifyr_spark.operators.ivf import ivf_index
+from dataverifyr_spark.operators.recall import ivf_topk_join
+emb_d2 = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+cents = [[float((i*5+s) % 7 - 3) for s in range(64)] for i in range(8)]
+queries = emb_d2.limit(3).withColumnRenamed("vec_id","query_id")
+iplan = cap(ivf_topk_join(ivf_index(emb_d2, cents), cents, queries, k=5, nprobe=2))
+assert "BroadcastHashJoin" in iplan and "CartesianProduct" not in iplan, iplan
+itree = iplan.split("\n\n(1)")[0] + (
+    "\n\n[node details elided: centroid literals inline in the probe-list "
+    "array_sort; asserted BroadcastHashJoin on cluster, no cartesian]\n"
+)
+sections.append(("Batch IVF top-k join (probe clusters exploded on the broadcast query side; cluster equi-join, no cartesian)", itree))
+
+with open("/root/repo/EXPLAIN.md","w") as f:
+    f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
+    f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
+    for title, plan in sections:
+        f.write(f"\n## {title}\n\n```\n{plan}\n```\n")
+print("rewritten with r5 sections")
