@@ -306,6 +306,22 @@ def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: multi-quantile column profiles (operators/quantiles.py — the
+    north_star "approx-quantiles" capability; describe stops at the
+    median).  Gate runs the EXACT interpolated mode so DuckDB's
+    quantile_cont replicates value-for-value; the approx sketch arm is
+    pinned against exact by pytest rank-tolerance and an Expand-free plan
+    test."""
+    from dataverifyr_spark.operators.quantiles import column_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = column_quantiles(
+        li, ["l_extendedprice", "l_quantity", "l_discount"], approx=False
+    )
+    return q.select("var", "prob", F.round("value", 6).alias("value"))
+
+
 def q_unique_rule_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: the UniquenessRule (PK) type oracled DIRECTLY (the suggest gates
     only assert self-pass).  Two rules in one check_data call: the composite
@@ -1304,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
+        "quantiles_lineitem": q_quantiles_lineitem,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
@@ -2409,6 +2426,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
+        "quantiles_lineitem": """
+    WITH q AS (
+      SELECT 'l_extendedprice' AS var,
+             quantile_cont(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', quantile_cont(l_quantity, [0.01, 0.25, 0.5, 0.75, 0.99])
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', quantile_cont(l_discount, [0.01, 0.25, 0.5, 0.75, 0.99])
+      FROM lineitem
+    )
+    SELECT q.var,
+           CAST(([0.01, 0.25, 0.5, 0.75, 0.99])[i.i] AS DOUBLE) AS prob,
+           ROUND(CAST(q.vals[i.i] AS DOUBLE), 6) AS value
+    FROM q CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i
+    """,
         "unique_rule_lineitem": """
     WITH g1 AS (
       SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber

@@ -579,7 +579,17 @@ def check_data(
     else:
         ref_results = [_eval_reference(df, r, datasets, tests) for r in ref_rules]
 
-    uniq_results = [_eval_uniqueness(df, r, tests) for r in uniq_rules]
+    # uniqueness rules are independent groupBy jobs — same concurrent driver
+    # submission as reference rules (scheduler interleaves; row order kept)
+    if len(uniq_rules) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(uniq_rules))) as pool:
+            uniq_results = list(
+                pool.map(lambda r: _eval_uniqueness(df, r, tests), uniq_rules)
+            )
+    else:
+        uniq_results = [_eval_uniqueness(df, r, tests) for r in uniq_rules]
 
     all_rows = schema_rows + row_results + ref_results + uniq_results
     result = spark.createDataFrame(

@@ -1,0 +1,86 @@
+"""Multi-quantile column profiles — the north_star's "per-column stats ...
+approx-quantiles" capability as a first-class operator (describe carries the
+median only).
+
+ONE aggregation job computes every requested quantile of every requested
+column:
+
+* ``approx=True`` (default, the 10^12-row path): ``percentile_approx`` —
+  Spark's GK/QuantileSummaries sketch (the same mergeable-summary role a
+  t-digest plays): bounded memory per column, map-side partial sketches
+  merged on the reducer, NO row replication, no sort.  ``accuracy`` trades
+  memory for rank error (1/accuracy relative rank error).
+* ``approx=False``: exact interpolated ``percentile`` (matches ANSI
+  ``quantile_cont`` / DuckDB) — buffers each column's values; small-slice /
+  oracle-parity use only.
+
+Output is the long shape ``(var, prob, value)`` — one row per
+column × probability — assembled driver-side from the single aggregate row
+(one row regardless of input size, like describe).
+
+Reference analog: none (R describe stops at the median, R/describe.R:120);
+this is a graft extension in the reference's batched-collectibles style
+(R/describe.R:329-422).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["column_quantiles", "QUANTILE_SCHEMA"]
+
+QUANTILE_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType(), False),
+        T.StructField("prob", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+DEFAULT_PROBS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def column_quantiles(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    probs: tuple[float, ...] = DEFAULT_PROBS,
+    approx: bool = True,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """(var, prob, value) rows for every requested column × probability,
+    from ONE aggregation scan.  ``cols=None`` profiles every numeric column.
+    NULLs are ignored per quantile semantics; an all-NULL column yields NULL
+    values."""
+    if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError("probs must be fractions in [0, 1]")
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if cols is None:
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, numeric)]
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column(s) {missing} not in DataFrame")
+
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if approx:
+            aggs.append(F.percentile_approx(v, prob_arr, accuracy).alias(f"q__{c}"))
+        else:
+            aggs.append(F.percentile(v, prob_arr).alias(f"q__{c}"))
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for c in cols:
+        vals = row[f"q__{c}"]
+        for i, p in enumerate(probs):
+            v = None if vals is None else vals[i]
+            out.append((c, float(p), float(v) if v is not None else None))
+    return df.sparkSession.createDataFrame(out, QUANTILE_SCHEMA)

@@ -552,3 +552,38 @@ class TestMjpeg:
         assert by["enough_frames"]["fail"] == len(short - corrupt)
         assert by["not_black"]["fail"] == len(dark - corrupt)
         assert all(by[k]["error"] == "" for k in by)
+
+
+class TestMjpegByteFlipFuzz:
+    """r5: the MJPEG container walks under systematic corruption — mjpeg_info
+    and mjpeg_sample_frames must raise only ImageError (or succeed), never a
+    raw struct.error / IndexError / UnboundLocalError, so video_probe's
+    error-row contract holds for arbitrary corruption of either carrier."""
+
+    @pytest.mark.parametrize("carrier", ["avi", "bare"])
+    def test_single_byte_flips(self, carrier):
+        import numpy as np
+
+        from dataverifyr_spark.operators.image import ImageError
+        from dataverifyr_spark.operators.mjpeg import (
+            encode_avi_mjpeg,
+            encode_bare_mjpeg,
+            mjpeg_sample_frames,
+        )
+
+        f, y, x = np.mgrid[0:3, 0:16, 0:16]
+        frames = ((x * 3 + y * 5 + f * 7) % 200 + 50).astype(np.uint8)
+        blob = (encode_avi_mjpeg if carrier == "avi" else encode_bare_mjpeg)(frames)
+        step = max(1, len(blob) // 150)
+        for i in range(0, len(blob), step):
+            mutated = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+            try:
+                mjpeg_sample_frames(mutated, every_n=1)
+            except ImageError:
+                pass  # the contract
+        # truncation sweep too
+        for cut in range(0, len(blob), max(1, len(blob) // 40)):
+            try:
+                mjpeg_sample_frames(blob[:cut])
+            except ImageError:
+                pass

@@ -1140,3 +1140,77 @@ class TestConnectedComponentsStress:
 
         t20, t40 = run(20), run(40)
         assert t40 < t20 * 10, (t20, t40)
+
+
+class TestColumnQuantiles:
+    """r5: multi-quantile profiles (north_star "approx-quantiles") — one agg
+    job, sketch vs exact parity, no Expand."""
+
+    def test_exact_matches_numpy_interpolation(self, spark):
+        import numpy as np
+
+        from dataverifyr_spark.operators.quantiles import column_quantiles
+
+        vals = [float(v) for v in range(101)]  # 0..100: quantile_cont(p) = 100p
+        df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+        got = {
+            r["prob"]: r["value"]
+            for r in column_quantiles(df, ["x"], approx=False).collect()
+        }
+        for p, v in got.items():
+            assert v == pytest.approx(float(np.percentile(vals, p * 100))), (p, v)
+
+    def test_approx_within_rank_tolerance(self, spark):
+        from dataverifyr_spark.operators.quantiles import column_quantiles
+
+        df = spark.range(0, 20000).selectExpr("CAST(id AS DOUBLE) AS x")
+        exact = {
+            r["prob"]: r["value"]
+            for r in column_quantiles(df, ["x"], approx=False).collect()
+        }
+        approx = {
+            r["prob"]: r["value"]
+            for r in column_quantiles(df, ["x"], approx=True, accuracy=1000).collect()
+        }
+        for p in exact:
+            # 1/accuracy relative rank error => ±20 ranks of 20k here
+            assert abs(approx[p] - exact[p]) <= 40, (p, approx[p], exact[p])
+
+    def test_defaults_all_numeric_and_validation(self, spark):
+        from dataverifyr_spark.operators.quantiles import column_quantiles
+
+        df = spark.createDataFrame([(1.0, 2, "s"), (3.0, 4, "t")], "a double, b int, s string")
+        out = column_quantiles(df)
+        assert {r["var"] for r in out.collect()} == {"a", "b"}  # strings skipped
+        assert out.count() == 2 * 5
+        with pytest.raises(ValueError, match="probs"):
+            column_quantiles(df, ["a"], probs=(1.5,))
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            column_quantiles(df, ["nope"])
+        with pytest.raises(ValueError, match="no numeric"):
+            column_quantiles(df.select("s"))
+        # all-NULL column yields NULL values, never a crash
+        nul = spark.createDataFrame([(None,), (None,)], "x double")
+        assert all(r["value"] is None for r in column_quantiles(nul, ["x"]).collect())
+
+    def test_approx_plan_one_agg_no_expand(self, spark):
+        import contextlib
+        import io
+
+        from dataverifyr_spark.operators.quantiles import column_quantiles
+
+        df = spark.range(0, 100).selectExpr(
+            "CAST(id AS DOUBLE) AS a", "CAST(id % 7 AS DOUBLE) AS b"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.agg(
+                *[
+                    __import__("pyspark.sql.functions", fromlist=["F"]).percentile_approx(
+                        c, [0.25, 0.5], 1000
+                    ).alias(c)
+                    for c in ("a", "b")
+                ]
+            ).explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "Expand" not in phys and phys.count("Exchange") <= 1, phys
