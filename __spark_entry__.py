@@ -322,6 +322,20 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("var", "prob", F.round("value", 6).alias("value"))
 
 
+def q_quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: per-PARTITION quantile profiles (column_quantiles_by) — ONE
+    groupBy(l_returnflag).agg of exact interpolated percentiles for two
+    measures, in-plan explode to (group, var, prob, value).  Oracle:
+    per-group quantile_cont lists unnested by index."""
+    from dataverifyr_spark.operators.quantiles import column_quantiles_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = column_quantiles_by(
+        li, by="l_returnflag", cols=["l_extendedprice", "l_quantity"], approx=False
+    )
+    return q.select("l_returnflag", "var", "prob", F.round("value", 6).alias("value"))
+
+
 def q_unique_rule_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: the UniquenessRule (PK) type oracled DIRECTLY (the suggest gates
     only assert self-pass).  Two rules in one check_data call: the composite
@@ -1321,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "quantiles_by_returnflag": q_quantiles_by_returnflag,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
         "topk_embeddings": q_topk_embeddings,
@@ -2439,6 +2454,21 @@ def oracle_sql() -> dict[str, str]:
       FROM lineitem
     )
     SELECT q.var,
+           CAST(([0.01, 0.25, 0.5, 0.75, 0.99])[i.i] AS DOUBLE) AS prob,
+           ROUND(CAST(q.vals[i.i] AS DOUBLE), 6) AS value
+    FROM q CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i
+    """,
+        "quantiles_by_returnflag": """
+    WITH q AS (
+      SELECT l_returnflag, 'l_extendedprice' AS var,
+             quantile_cont(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'l_quantity',
+             quantile_cont(l_quantity, [0.01, 0.25, 0.5, 0.75, 0.99])
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT q.l_returnflag, q.var,
            CAST(([0.01, 0.25, 0.5, 0.75, 0.99])[i.i] AS DOUBLE) AS prob,
            ROUND(CAST(q.vals[i.i] AS DOUBLE), 6) AS value
     FROM q CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_quantiles", "QUANTILE_SCHEMA"]
+__all__ = ["column_quantiles", "column_quantiles_by", "QUANTILE_SCHEMA"]
 
 QUANTILE_SCHEMA = T.StructType(
     [
@@ -84,3 +84,64 @@ def column_quantiles(
             v = None if vals is None else vals[i]
             out.append((c, float(p), float(v) if v is not None else None))
     return df.sparkSession.createDataFrame(out, QUANTILE_SCHEMA)
+
+
+def column_quantiles_by(
+    df: DataFrame,
+    by: str | list[str],
+    cols: list[str] | None = None,
+    probs: tuple[float, ...] = DEFAULT_PROBS,
+    approx: bool = True,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group quantile profiles — ``(by..., var, prob, value)`` rows from
+    ONE ``groupBy(by).agg`` job (the :func:`column_quantiles` analog of
+    ``describe_by``): per group × column, the sketch (or exact percentile)
+    evaluates once, then a pure-Catalyst explode unpivots
+    column × probability — fully distributed, no driver loop, no collect, so
+    a 10^6-partition profile is still a single shuffle."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    for c in by_cols:
+        if c not in df.columns:
+            raise ValueError(f"by column {c!r} not in DataFrame")
+    if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError("probs must be fractions in [0, 1]")
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, numeric) and f.name not in by_cols
+        ]
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column(s) {missing} not in DataFrame")
+
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if approx:
+            aggs.append(F.percentile_approx(v, prob_arr, accuracy).alias(f"q__{c}"))
+        else:
+            aggs.append(F.percentile(v, prob_arr).alias(f"q__{c}"))
+    grouped = df.groupBy(*[F.col(c) for c in by_cols]).agg(*aggs)
+
+    structs = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("var"),
+                    F.lit(float(p)).alias("prob"),
+                    F.element_at(F.col(f"q__{c}"), i + 1).alias("value"),
+                )
+            )
+    return grouped.select(
+        *[F.col(c) for c in by_cols], F.explode(F.array(*structs)).alias("__q")
+    ).select(*by_cols, "__q.var", "__q.prob", "__q.value")

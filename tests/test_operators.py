@@ -1214,3 +1214,48 @@ class TestColumnQuantiles:
             ).explain(True)
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Expand" not in phys and phys.count("Exchange") <= 1, phys
+
+
+class TestColumnQuantilesBy:
+    def test_per_group_matches_global_per_slice(self, spark):
+        from dataverifyr_spark.operators.quantiles import (
+            column_quantiles,
+            column_quantiles_by,
+        )
+
+        rows = [("a", float(i)) for i in range(50)] + [("b", float(i * 3)) for i in range(20)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            (r["g"], r["prob"]): r["value"]
+            for r in column_quantiles_by(df, by="g", cols=["x"], approx=False).collect()
+        }
+        for g in ("a", "b"):
+            exp = {
+                r["prob"]: r["value"]
+                for r in column_quantiles(
+                    df.filter(f"g='{g}'"), ["x"], approx=False
+                ).collect()
+            }
+            for p, v in exp.items():
+                assert got[(g, p)] == pytest.approx(v), (g, p)
+        # by column excluded from auto-selection; validation paths
+        auto = column_quantiles_by(df, by="g", approx=False)
+        assert {r["var"] for r in auto.collect()} == {"x"}
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            column_quantiles_by(df, by="nope")
+
+    def test_plan_one_grouped_agg_no_driver_loop(self, spark):
+        import contextlib
+        import io
+
+        from dataverifyr_spark.operators.quantiles import column_quantiles_by
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "g string, x double, y double"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            column_quantiles_by(df, by="g").explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "Expand" not in phys and phys.count("Exchange") <= 1, phys
+        assert "Generate" in phys  # the in-plan explode unpivot
