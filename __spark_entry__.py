@@ -338,10 +338,12 @@ def q_quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_unique_rule_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: the UniquenessRule (PK) type oracled DIRECTLY (the suggest gates
-    only assert self-pass).  Two rules in one check_data call: the composite
-    (l_orderkey, l_linenumber) key IS unique (full pass) while l_orderkey
-    alone is not (rows in multi-line orders fail) — the oracle recomputes
-    singleton-group row counts for both keys."""
+    only assert self-pass).  Two rules in one check_data call over keys with
+    DIFFERENT duplication profiles — the synthetic lineitem duplicates even
+    the composite (l_orderkey, l_linenumber) key (~43% of rows at sf0.01),
+    and l_orderkey alone much more — so the gate certifies non-trivial
+    singleton-group row counts, not a vacuous full pass, against the
+    oracle's GROUP-BY recount."""
     li = _t(spark, sf_dir, "lineitem")
     rs = dv.ruleset(
         dv.unique_rule("l_orderkey", "l_linenumber", name="pk_composite"),
