@@ -306,6 +306,35 @@ def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def q_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: declarative embedding-column validation (operators/vectors.py
+    dialect fns — pure Catalyst aggregate/exists folds fused into the ONE
+    rule scan).  Three crafted poison rows (wrong dim, NaN, zero norm) union
+    the real corpus on BOTH sides, so each rule's fail count is exact and
+    non-trivial; the oracle replicates the folds with len / list_filter /
+    list_dot_product."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    bad = spark.createDataFrame(
+        [
+            (9000001, [1.0] * 63),
+            (9000002, [float("nan")] * 64),
+            (9000003, [0.0] * 64),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    df = emb.unionByName(bad)
+    rules = dv.ruleset(
+        dv.rule("vec_dim(embedding) == 64", name="dim64"),
+        dv.rule("vec_has_nan(embedding)", name="no_nan", negate=True),
+        dv.rule("vec_norm(embedding) > 0.001", name="nonzero"),
+        dv.rule("vec_max_abs(embedding) <= 100", name="bounded"),
+    )
+    return dv.check_data(df, rules).select(*_SUMMARY_COLS)
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: multi-quantile column profiles (operators/quantiles.py — the
     north_star "approx-quantiles" capability; describe stops at the
@@ -1337,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "embedding_validate": q_embedding_validate,
         "quantiles_by_returnflag": q_quantiles_by_returnflag,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
@@ -2443,6 +2473,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
+        "embedding_validate": ("""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL SELECT [__ONES63__]
+      UNION ALL SELECT [__NANS64__]
+      UNION ALL SELECT [__ZEROS64__]
+    ),
+    f AS (
+      SELECT len(v) = 64 AS dim_ok,
+             len(list_filter(v, x -> isnan(x))) = 0 AS nan_free,
+             sqrt(list_dot_product(v, v)) > 0.001 AS nonzero_ok,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') <= 100 AS bounded_ok
+      FROM e
+    )
+    SELECT 'row_rule' AS check_type, 'dim64' AS name,
+           'vec_dim(embedding) == 64' AS expr, FALSE AS allow_na, FALSE AS negate,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN dim_ok THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN dim_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM f
+    UNION ALL
+    SELECT 'row_rule', 'no_nan', 'vec_has_nan(embedding)', FALSE, TRUE,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nan_free THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN nan_free THEN 1 ELSE 0 END) AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 'row_rule', 'nonzero', 'vec_norm(embedding) > 0.001', FALSE, FALSE,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nonzero_ok THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN nonzero_ok THEN 1 ELSE 0 END) AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 'row_rule', 'bounded', 'vec_max_abs(embedding) <= 100', FALSE, FALSE,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN bounded_ok THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN bounded_ok THEN 1 ELSE 0 END) AS BIGINT)
+    FROM f
+    """
+        .replace("__ONES63__", ", ".join(["1.0"] * 63))
+        .replace("__NANS64__", ", ".join(["'NaN'::DOUBLE"] * 64))
+        .replace("__ZEROS64__", ", ".join(["0.0"] * 64))),
         "quantiles_lineitem": """
     WITH q AS (
       SELECT 'l_extendedprice' AS var,

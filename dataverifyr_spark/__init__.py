@@ -19,6 +19,7 @@ from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails
 from .io import read_rules, write_rules
 from .misc import detect_backend, has_pkg, plot_res, simple_table
+from .operators.vectors import register_vector_functions  # registers vec_* dialect fns
 from .suggest import suggest_rules
 from .rules import (
     DataColumn,

@@ -1259,3 +1259,69 @@ class TestColumnQuantilesBy:
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Expand" not in phys and phys.count("Exchange") <= 1, phys
         assert "Generate" in phys  # the in-plan explode unpivot
+
+
+class TestVectorDialect:
+    """r5: embedding-column dialect fns (operators/vectors.py) — pure
+    Catalyst folds through the standard rule machinery."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1.0, 2.0, 2.0]),          # norm 3, clean
+                (2, [0.0, 0.0, 0.0]),          # zero norm
+                (3, [1.0, float("nan"), 2.0]),  # NaN element
+                (4, None),                      # NULL vector
+                (5, [1.0, None, 2.0]),          # NULL element
+                (6, [1.0, 2.0]),                # wrong dim
+                (7, [100.0, 0.0, 0.0]),         # out of bounds
+            ],
+            "vec_id int, embedding array<double>",
+        ).cache()
+
+    def test_rule_counts_exact(self, spark, vecs):
+        import dataverifyr_spark as dv
+
+        rs = dv.ruleset(
+            dv.rule("vec_dim(embedding) == 3", name="dim3"),
+            dv.rule("vec_has_nan(embedding)", name="no_nan", negate=True),
+            dv.rule("vec_has_null(embedding)", name="no_null_elem", negate=True),
+            dv.rule("vec_norm(embedding) > 0.1", name="nonzero"),
+            dv.rule("vec_max_abs(embedding) <= 10", name="bounded"),
+        )
+        got = {r["name"]: (r["pass"], r["fail"]) for r in dv.check_data(vecs, rs).collect()}
+        assert got["dim3"] == (5, 2)          # NULL vec + dim-2 fail
+        assert got["no_nan"] == (5, 2)        # NaN row + NULL vec fail
+        assert got["no_null_elem"] == (5, 2)  # NULL-elem row + NULL vec fail
+        assert got["nonzero"] == (4, 3)       # zero vec, NULL vec, NULL-elem fail
+        assert got["bounded"] == (4, 3)       # 100.0 row, NULL vec, NULL-elem fail
+
+    def test_filter_fails_and_violations_flow(self, spark, vecs):
+        import dataverifyr_spark as dv
+
+        bad = dv.filter_fails(
+            dv.ruleset(dv.rule("vec_dim(embedding) == 3", name="dim3")), vecs, tag=True
+        )
+        ids = sorted(r["vec_id"] for r in bad.collect())
+        assert ids == [4, 6]
+
+    def test_plan_is_python_free(self, spark, vecs):
+        import contextlib
+        import io
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.check import compile_rule_predicate
+
+        pred = compile_rule_predicate(dv.rule("vec_norm(embedding) > 0.1")).column
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            vecs.select(pred.alias("p")).explain(True)
+        assert "Python" not in buf.getvalue().split("== Physical Plan ==")[-1]
+
+    def test_arity_error(self, spark):
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.expr import ExprError
+
+        with pytest.raises(ExprError, match="expects 1 arg"):
+            dv.compile_expr("vec_dim(a, b)")
