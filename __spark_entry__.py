@@ -306,6 +306,25 @@ def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: passage-level dedup shape (operators/chunks.py) — every document
+    chunked into 8-token windows by a pure-Catalyst sequence/slice explode
+    (no shuffle, no Python), then the chunk-duplication histogram
+    (n_copies → n_groups) over exact chunk-text groups.  The oracle
+    recomputes the identical windows with list_slice over generate_series —
+    window COUNT math included."""
+    from dataverifyr_spark.operators.chunks import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=8)
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
 def q_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: declarative embedding-column validation (operators/vectors.py
     dialect fns — pure Catalyst aggregate/exists folds fused into the ONE
@@ -1367,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_rule_lineitem": q_unique_rule_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
         "embedding_validate": q_embedding_validate,
+        "chunk_dedup_documents": q_chunk_dedup_documents,
         "quantiles_by_returnflag": q_quantiles_by_returnflag,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
@@ -2473,6 +2493,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
+        "chunk_dedup_documents": """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT t.doc_id, i.i AS chunk_idx,
+             array_to_string(list_slice(t.tk, i.i * 8 + 1, i.i * 8 + 8), ' ') AS chunk_text
+      FROM toks t
+      CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+      WHERE i.i <= CASE WHEN len(t.tk) <= 0 THEN 0 ELSE (len(t.tk) - 1) // 8 END
+    )
+    SELECT CAST(g.n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM (SELECT chunk_text, COUNT(*) AS n_copies FROM c GROUP BY chunk_text) g
+    GROUP BY g.n_copies
+    """,
         "embedding_validate": ("""
     WITH e AS (
       SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings

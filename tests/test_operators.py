@@ -1325,3 +1325,82 @@ class TestVectorDialect:
 
         with pytest.raises(ExprError, match="expects 1 arg"):
             dv.compile_expr("vec_dim(a, b)")
+
+
+class TestChunkDocuments:
+    """r5: passage-level chunking (operators/chunks.py) — pure Catalyst
+    token windows feeding the dedup stack."""
+
+    def _py_chunks(self, text, ct, ov):
+        toks = [t for t in text.split() if t]
+        n, stride = len(toks), ct - ov
+        if n == 0:
+            return [(0, "", 0)]
+        out = []
+        for i in range(max(1, 1 + (n - ov - 1) // stride)):
+            sl = toks[i * stride : i * stride + ct]
+            out.append((i, " ".join(sl), len(sl)))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from dataverifyr_spark.operators.chunks import chunk_documents
+
+        texts = ["a b c d e f g h i j", "one two three", "", "   ", "x " * 50]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        for ct, ov in ((4, 0), (4, 2), (8, 3), (1, 0)):
+            got = {}
+            for r in chunk_documents(df, chunk_tokens=ct, overlap=ov).collect():
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+                )
+            for i, t in enumerate(texts):
+                assert sorted(got[i]) == self._py_chunks(t, ct, ov), (ct, ov, i)
+
+    def test_empty_doc_one_row_and_validation(self, spark):
+        import pytest as _pytest
+
+        from dataverifyr_spark.operators.chunks import chunk_documents
+
+        df = spark.createDataFrame([(1, "")], "doc_id int, text string")
+        rows = chunk_documents(df).collect()
+        assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 0
+        with _pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(df, chunk_tokens=0)
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+    def test_feeds_exact_dedup_at_passage_level(self, spark):
+        """Two docs sharing a boilerplate passage: whole-doc dedup finds
+        nothing, chunk-level dedup finds the shared window."""
+        from dataverifyr_spark.operators.chunks import chunk_documents
+        from dataverifyr_spark.operators.dedup import exact_dup_groups
+
+        boiler = "terms of service apply to all users of this site"
+        df = spark.createDataFrame(
+            [(1, "unique alpha text " + boiler), (2, boiler + " other beta ending")],
+            "doc_id int, text string",
+        )
+        assert not [
+            r for r in exact_dup_groups(df).collect() if r["n_copies"] > 1
+        ]
+        chunks = chunk_documents(df, chunk_tokens=5, overlap=4).select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ).withColumn("doc_id", F.monotonically_increasing_id())
+        dups = [r for r in exact_dup_groups(chunks).collect() if r["n_copies"] > 1]
+        assert dups  # shared 5-gram windows surface
+
+    def test_plan_no_shuffle_no_python(self, spark):
+        import contextlib
+        import io
+
+        from dataverifyr_spark.operators.chunks import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            chunk_documents(df).explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert "Exchange" not in phys and "Python" not in phys, phys
