@@ -325,6 +325,20 @@ def q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_rules_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: rule induction over the VECTOR table — suggest_rules drafts the
+    PK (vec_id exactly unique, HLL-shortlist + exact confirm), the embedding
+    dimension contract (single observed element count → vec_dim == 64), and
+    the not-null contracts, then check_data applies them back (all
+    self-passing).  Pins the full induce→apply loop over an embedding
+    column end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rs = dv.suggest_rules(emb)
+    return dv.check_data(emb, rs).select("name", "tests", "pass", "fail")
+
+
 def q_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: declarative embedding-column validation (operators/vectors.py
     dialect fns — pure Catalyst aggregate/exists folds fused into the ONE
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_lineitem": q_quantiles_lineitem,
         "embedding_validate": q_embedding_validate,
         "chunk_dedup_documents": q_chunk_dedup_documents,
+        "suggest_rules_embeddings": q_suggest_rules_embeddings,
         "quantiles_by_returnflag": q_quantiles_by_returnflag,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
@@ -2493,6 +2508,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": dedup,
         "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
+        "suggest_rules_embeddings": """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings)
+    SELECT r.name, n.cnt AS tests, n.cnt AS "pass", CAST(0 AS BIGINT) AS fail
+    FROM n, (VALUES ('bounds_vec_id'), ('notnull_vec_id'), ('dim_embedding'),
+                    ('notnull_embedding'), ('unique_vec_id')) AS r(name)
+    """,
         "chunk_dedup_documents": """
     WITH toks AS (
       SELECT doc_id,

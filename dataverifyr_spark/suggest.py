@@ -74,6 +74,8 @@ def suggest_rules(
     * id-shaped (integer/string) null-free column that is exactly unique →
       a :func:`unique_rule` PK draft (``unique_col``), HLL-shortlisted and
       exact-confirmed (see inline comment)
+    * numeric-array (embedding) column whose observed element count is a
+      single value → ``vec_dim(col) == d`` (``dim_col``, vectors dialect)
     * with ``datasets={'name': ref_df, ...}``: low-cardinality string or
       integer column whose observed value set is CONTAINED in some
       same-type-family column of a provided table → a draft
@@ -91,6 +93,12 @@ def suggest_rules(
     for f in fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"na__{f.name}"))
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, _NUMERIC
+        ):
+            # vector column: observed element-count range (same fused scan)
+            aggs.append(F.min(F.size(c)).alias(f"dimmin__{f.name}"))
+            aggs.append(F.max(F.size(c)).alias(f"dimmax__{f.name}"))
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(c).alias(f"min__{f.name}"))
             aggs.append(F.max(c).alias(f"max__{f.name}"))
@@ -191,6 +199,18 @@ def suggest_rules(
                     name, ds_name, ref_col, name=f"fk_{name}", allow_na=n_na > 0
                 )
             )
+        if f"dimmin__{name}" in prof:
+            lo_d, hi_d = prof[f"dimmin__{name}"], prof[f"dimmax__{name}"]
+            if lo_d is not None and lo_d == hi_d and lo_d > 0:
+                # every observed vector has ONE dimension: contract it
+                # (vectors.py dialect fn — pure Catalyst size check)
+                out.append(
+                    rule(
+                        f"vec_dim({name}) == {int(lo_d)}",
+                        name=f"dim_{name}",
+                        allow_na=n_na > 0,
+                    )
+                )
         if name in pk_cols:
             out.append(unique_rule(name, name=f"unique_{name}"))
         if include_null_rules and n_na == 0:

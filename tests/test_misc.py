@@ -249,3 +249,29 @@ class TestSuggestRules:
         dv.write_rules(rs, p)
         back = dv.read_rules(p)
         assert [r.expr for r in back] == [r.expr for r in rs]
+
+
+class TestSuggestVectorDim:
+    def test_dim_rule_induced_and_drift_caught(self, spark):
+        """r5: a numeric-array column with ONE observed element count drafts
+        vec_dim(col) == d; a ragged corpus drafts nothing."""
+        import dataverifyr_spark as dv
+
+        ok = spark.createDataFrame(
+            [(i, [float(i), 0.0, 1.0]) for i in range(20)],
+            "id int, emb array<double>",
+        )
+        rs = dv.suggest_rules(ok)
+        names = [r.name for r in rs]
+        assert "dim_emb" in names
+        # self-passes, and catches a wrong-dim batch
+        assert {r["name"]: r["fail"] for r in dv.check_data(ok, rs).collect()}["dim_emb"] == 0
+        drifted = spark.createDataFrame(
+            [(99, [1.0, 2.0])], "id int, emb array<double>"
+        )
+        bad = {r["name"]: r for r in dv.check_data(drifted, rs).collect()}
+        assert bad["dim_emb"]["fail"] == 1
+        ragged = spark.createDataFrame(
+            [(1, [1.0]), (2, [1.0, 2.0])], "id int, emb array<double>"
+        )
+        assert "dim_emb" not in [r.name for r in dv.suggest_rules(ragged)]
