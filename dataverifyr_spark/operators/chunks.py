@@ -40,8 +40,12 @@ def chunk_documents(
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
 
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    # NULL text must behave like an empty document (ONE empty-chunk row):
+    # without the coalesce the NULL propagates through size/sequence and
+    # explode silently DROPS the row
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
     )
     n = F.size(toks)
     # chunks start at 0, stride, 2*stride, ...; a start at or past

@@ -79,6 +79,10 @@ def ivf_topk_join(
     """
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if len({len(c) for c in centroids}) != 1:
+        # a short centroid would silently truncate the zip inside _sq_dist
+        # and corrupt probe selection
+        raise ValueError("ragged centroids: every centroid must have the same length")
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))

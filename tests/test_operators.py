@@ -975,6 +975,8 @@ class TestAnnRecall:
             lsh_topk_join_multiprobe(emb, q, k=5)
         with pytest.raises(ValueError, match="non-empty"):
             ivf_topk_join(emb, [], q)
+        with pytest.raises(ValueError, match="ragged"):
+            ivf_topk_join(emb, [[0.0] * 8, [0.0] * 7], q)
         with pytest.raises(ValueError, match="nprobe"):
             ivf_topk_join(emb, [[0.0] * 8], q, nprobe=0)
 
@@ -1363,9 +1365,13 @@ class TestChunkDocuments:
 
         from dataverifyr_spark.operators.chunks import chunk_documents
 
-        df = spark.createDataFrame([(1, "")], "doc_id int, text string")
+        df = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
         rows = chunk_documents(df).collect()
-        assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 0
+        # NULL text behaves like empty: ONE empty-chunk row each, never a
+        # silently dropped document (r5 self-review fix)
+        assert len(rows) == 2
+        assert all(r["n_chunk_tokens"] == 0 for r in rows)
+        assert {r["doc_id"] for r in rows} == {1, 2}
         with _pytest.raises(ValueError, match="chunk_tokens"):
             chunk_documents(df, chunk_tokens=0)
         with _pytest.raises(ValueError, match="overlap"):
