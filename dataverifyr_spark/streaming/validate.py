@@ -245,10 +245,19 @@ def validate_stream_windowed_to_sink(
 
 def read_windowed_summary(spark, sink_path: str) -> DataFrame:
     """Roll the per-batch summary up to one row per (window × rule) — rule
-    counts and ``_dropped_by_watermark`` counters sum across batches."""
-    df = spark.read.option("recursiveFileLookup", "true").parquet(
-        f"{sink_path}/summary"
-    )
+    counts and ``_dropped_by_watermark`` counters sum across batches.  A
+    sink no batch has written yet reads as an EMPTY summary, not an
+    exception (an all-empty stream is a valid state)."""
+    try:
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{sink_path}/summary"
+        )
+    except Exception:  # noqa: BLE001 — no summary dir yet
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, window_end timestamp, name string, "
+            "expr string, tests bigint, pass bigint, fail bigint",
+        )
     return df.groupBy("window_start", "window_end", "name", "expr").agg(
         F.sum("tests").alias("tests"),
         F.sum("pass").alias("pass"),

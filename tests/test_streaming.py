@@ -371,6 +371,13 @@ class TestLateDataAccounting:
         )
         assert counted == n_inputs
 
+    def test_empty_sink_reads_as_empty_summary(self, spark, tmp_path):
+        from dataverifyr_spark.streaming import read_windowed_summary
+
+        out = read_windowed_summary(spark, str(tmp_path / "never_written"))
+        assert out.count() == 0
+        assert "tests" in out.columns and "name" in out.columns
+
     def test_duration_parse_rejects_garbage(self):
         from dataverifyr_spark.streaming.validate import _parse_duration_s
 
