@@ -587,3 +587,39 @@ class TestMjpegByteFlipFuzz:
                 mjpeg_sample_frames(blob[:cut])
             except ImageError:
                 pass
+
+
+class TestMjpegInterleavedStreams:
+    def test_avi_with_audio_chunks_skips_them(self):
+        """Real AVIs interleave audio ('01wb') with video ('00dc') inside
+        movi — the walk must count only video frames."""
+        import struct
+
+        import numpy as np
+
+        from dataverifyr_spark.operators.mjpeg import (
+            _chunk,
+            _list,
+            encode_avi_mjpeg,
+            mjpeg_info,
+        )
+
+        frames = np.full((2, 16, 16), 128, np.uint8)
+        blob = encode_avi_mjpeg(frames)
+        # rebuild movi with an audio chunk interleaved between the two frames
+        w, h, n, spans = mjpeg_info(blob)
+        f0 = bytes(blob[spans[0][0] : spans[0][0] + spans[0][1]])
+        f1 = bytes(blob[spans[1][0] : spans[1][0] + spans[1][1]])
+        movi = _list(
+            b"movi",
+            _chunk(b"00dc", f0) + _chunk(b"01wb", b"\x00" * 321) + _chunk(b"00dc", f1),
+        )
+        # splice: keep RIFF header + hdrl, swap movi, drop idx1
+        hdr_end = blob.index(b"LIST", 12)  # hdrl LIST
+        hdrl_size = struct.unpack_from("<I", blob, hdr_end + 4)[0]
+        head = blob[: hdr_end + 8 + hdrl_size + (hdrl_size % 2)]
+        rebuilt = head + movi
+        rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+        w2, h2, n2, spans2 = mjpeg_info(rebuilt)
+        assert (w2, h2, n2) == (16, 16, 2)
+        assert len(spans2) == 2
