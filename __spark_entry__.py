@@ -368,6 +368,25 @@ def q_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(df, rules).select(*_SUMMARY_COLS)
 
 
+def q_check_error_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: the error-row CONTRACT oracled — a rule referencing a missing
+    column must become an error row (pass=0, fail=tests) in the summary,
+    never an exception, while sibling rules still evaluate
+    (R/check_data.R:301-315).  The oracle hard-codes the contract's counts;
+    the error text itself is engine-specific and excluded from the
+    projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    rs = dv.ruleset(
+        dv.rule("l_quantity > 0", name="good"),
+        dv.rule("no_such_column > 0", name="broken"),
+        dv.rule("as.numeric(l_comment) > 0", name="coerces", allow_na=True),
+    )
+    res = dv.check_data(li, rs)
+    return res.select(
+        "name", "tests", "pass", "fail", (F.col("error") != "").alias("has_error")
+    )
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: multi-quantile column profiles (operators/quantiles.py — the
     north_star "approx-quantiles" capability; describe stops at the
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "check_error_rows_lineitem": q_check_error_rows_lineitem,
         "embedding_validate": q_embedding_validate,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "suggest_rules_embeddings": q_suggest_rules_embeddings,
@@ -2590,6 +2610,26 @@ def oracle_sql() -> dict[str, str]:
            CAST(([0.01, 0.25, 0.5, 0.75, 0.99])[i.i] AS DOUBLE) AS prob,
            ROUND(CAST(q.vals[i.i] AS DOUBLE), 6) AS value
     FROM q CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i
+    """,
+        "check_error_rows_lineitem": """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem)
+    SELECT 'good' AS name, n.cnt AS tests,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0) AS BIGINT) AS "pass",
+           n.cnt - CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0) AS BIGINT) AS fail,
+           FALSE AS has_error
+    FROM n
+    UNION ALL
+    SELECT 'broken', n.cnt, CAST(0 AS BIGINT), n.cnt, TRUE FROM n
+    UNION ALL
+    SELECT 'coerces', n.cnt,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE COALESCE(TRY_CAST(l_comment AS DOUBLE) > 0, FALSE)
+                    OR l_comment IS NULL) AS BIGINT),
+           n.cnt - CAST((SELECT COUNT(*) FROM lineitem
+                         WHERE COALESCE(TRY_CAST(l_comment AS DOUBLE) > 0, FALSE)
+                            OR l_comment IS NULL) AS BIGINT),
+           FALSE
+    FROM n
     """,
         "quantiles_by_returnflag": """
     WITH q AS (

@@ -1410,3 +1410,40 @@ class TestChunkDocuments:
             chunk_documents(df).explain(True)
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Exchange" not in phys and "Python" not in phys, phys
+
+
+class TestChunkIncrementalDedup:
+    def test_new_batch_passages_vs_corpus(self, spark):
+        """Composition: chunk_documents feeds lsh_pairs_against — passages of
+        a NEW batch are screened against the persisted corpus signatures, the
+        cross-corpus shape a daily training-data ingest runs."""
+        from dataverifyr_spark.operators.chunks import chunk_documents
+        from dataverifyr_spark.operators.dedup import (
+            lsh_pairs_against,
+            minhash_signatures,
+        )
+
+        boiler = "subscribe to our newsletter for updates and exclusive offers today"
+        corpus = spark.createDataFrame(
+            [(i, f"corpus document number {i} body text then {boiler}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "fresh article unrelated content entirely new words here"),
+             (101, f"another fresh piece but ends with {boiler}")],
+            "doc_id bigint, text string",
+        )
+
+        def passages(df, base):
+            ch = chunk_documents(df, chunk_tokens=10, overlap=5)
+            return ch.select(
+                (F.col("doc_id") * 1000 + F.col("chunk_idx") + base).alias("doc_id"),
+                F.col("chunk_text").alias("text"),
+            )
+
+        corp_sigs = minhash_signatures(passages(corpus, 0), num_hashes=32, shingle_k=3)
+        new_sigs = minhash_signatures(passages(batch, 0), num_hashes=32, shingle_k=3)
+        pairs = lsh_pairs_against(new_sigs, corp_sigs, num_bands=16).collect()
+        hit_docs = {r["id_a"] // 1000 for r in pairs}
+        assert 101 in hit_docs  # the boilerplate-ending doc is flagged
+        assert 100 not in hit_docs  # the genuinely fresh doc is not
