@@ -379,7 +379,7 @@ def q_check_error_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = dv.ruleset(
         dv.rule("l_quantity > 0", name="good"),
         dv.rule("no_such_column > 0", name="broken"),
-        dv.rule("as.numeric(l_comment) > 0", name="coerces", allow_na=True),
+        dv.rule("as.numeric(l_returnflag) > 0", name="coerces", allow_na=True),
     )
     res = dv.check_data(li, rs)
     return res.select(
@@ -2623,11 +2623,11 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'coerces', n.cnt,
            CAST((SELECT COUNT(*) FROM lineitem
-                 WHERE COALESCE(TRY_CAST(l_comment AS DOUBLE) > 0, FALSE)
-                    OR l_comment IS NULL) AS BIGINT),
+                 WHERE COALESCE(TRY_CAST(l_returnflag AS DOUBLE) > 0, FALSE)
+                    OR l_returnflag IS NULL) AS BIGINT),
            n.cnt - CAST((SELECT COUNT(*) FROM lineitem
-                         WHERE COALESCE(TRY_CAST(l_comment AS DOUBLE) > 0, FALSE)
-                            OR l_comment IS NULL) AS BIGINT),
+                         WHERE COALESCE(TRY_CAST(l_returnflag AS DOUBLE) > 0, FALSE)
+                            OR l_returnflag IS NULL) AS BIGINT),
            FALSE
     FROM n
     """,

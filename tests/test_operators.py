@@ -1444,6 +1444,6 @@ class TestChunkIncrementalDedup:
         corp_sigs = minhash_signatures(passages(corpus, 0), num_hashes=32, shingle_k=3)
         new_sigs = minhash_signatures(passages(batch, 0), num_hashes=32, shingle_k=3)
         pairs = lsh_pairs_against(new_sigs, corp_sigs, num_bands=16).collect()
-        hit_docs = {r["id_a"] // 1000 for r in pairs}
+        hit_docs = {r["id_new"] // 1000 for r in pairs}
         assert 101 in hit_docs  # the boilerplate-ending doc is flagged
         assert 100 not in hit_docs  # the genuinely fresh doc is not
