@@ -178,6 +178,18 @@ itree = iplan.split("\n\n(1)")[0] + (
 )
 sections.append(("Batch IVF top-k join (probe clusters exploded on the broadcast query side; cluster equi-join, no cartesian)", itree))
 
+# chunking: narrow projection only — no shuffle, no Python
+from dataverifyr_spark.operators.chunks import chunk_documents
+cplan = cap(chunk_documents(docs, chunk_tokens=8))
+assert "Exchange" not in cplan and "Python" not in cplan, cplan
+sections.append(("Document chunking (sequence/slice explode — scan-speed, zero shuffle, zero Python)", cplan))
+
+# vector dialect rule inside the fused check scan: one agg, no Python
+vec_pred = compile_rule_predicate(dv.rule("vec_dim(embedding) == 64 & vec_norm(embedding) > 0.001")).column
+vplan2 = cap(emb.agg(F.sum(F.when(vec_pred, 1).otherwise(0))))
+assert "Python" not in vplan2, vplan2
+sections.append(("Vector (embedding) dialect rule in the fused agg (aggregate/exists folds — JVM-side, single scan)", vplan2))
+
 with open("/root/repo/EXPLAIN.md","w") as f:
     f.write("# EXPLAIN — physical plan snapshots (generated from sf0.01, `tools/gen_explain.py`)\n\n")
     f.write("Evidence that each operator compiles to the intended plan shape; regenerate\nwith `python tools/gen_explain.py`.\n")
