@@ -36,7 +36,7 @@ import warnings
 from dataclasses import dataclass
 from functools import reduce
 from operator import or_
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,6 +122,17 @@ def _compile_all(df: DataFrame, rules: list[Rule]) -> list[_Compiled]:
             out.append(_Compiled(r, res.column, res.coercion_watchers, ""))
         except Exception as exc:  # AnalysisException, ExprError, ...
             out.append(_Compiled(r, None, [], _strip_error(exc)))
+    return out
+
+
+def _safe_alias(columns: Sequence[str], base: str) -> str:
+    """Internal-alias name guaranteed not to shadow a user column (the
+    same prefixing scheme as ``__dvfy_ref_val`` in _reference_ok_column:
+    a dataset with a column literally named ``__cnt`` must not turn a
+    valid uniqueness rule into an AMBIGUOUS_REFERENCE error)."""
+    out = base
+    while out in columns:
+        out = "_" + out
     return out
 
 
@@ -315,21 +326,23 @@ def _eval_uniqueness(df: DataFrame, r: "UniquenessRule", tests: int) -> dict[str
         if missing:
             raise ValueError(f"column(s) {missing} not in dataset")
         keys = [F.col(c) for c in r.unique_cols]
+        cnt = _safe_alias(df.columns, "__cnt")
+        isn = _safe_alias(df.columns, "__isnull")
         null_key = None
         for c in r.unique_cols:
             cond = F.col(c).isNull()
             null_key = cond if null_key is None else (null_key | cond)
         grouped = df.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.max(null_key.cast("int")).alias("__isnull"),
+            F.count(F.lit(1)).alias(cnt),
+            F.max(null_key.cast("int")).alias(isn),
         )
-        ok = F.col("__cnt") == 1
+        ok = F.col(cnt) == 1
         if r.allow_na:
-            ok = ok | (F.col("__isnull") == 1)
+            ok = ok | (F.col(isn) == 1)
         if r.negate:
             ok = ~ok
         row = grouped.agg(
-            F.sum(F.when(ok, F.col("__cnt")).otherwise(F.lit(0))).alias("p")
+            F.sum(F.when(ok, F.col(cnt)).otherwise(F.lit(0))).alias("p")
         ).collect()[0]
         return _result_row(r, tests, int(row["p"] or 0), elapsed=_time.perf_counter() - t0)
     except Exception as exc:
@@ -353,19 +366,23 @@ def uniqueness_violations(df: DataFrame, r: "UniquenessRule") -> DataFrame:
     # (and re-enter wholesale as violators under negation, flag order per
     # R/data_column.R:353-358)
     base = df.filter(~null_key) if r.allow_na else df
+    cnt = _safe_alias(df.columns, "__cnt")
+    bk = "__bk"
+    while any(f"{bk}_{c}" in df.columns for c in keys):
+        bk = "_" + bk
     grouped = base.groupBy(*[F.col(c) for c in keys]).agg(
-        F.count(F.lit(1)).alias("__cnt")
+        F.count(F.lit(1)).alias(cnt)
     )
-    bad = F.col("__cnt") > 1
+    bad = F.col(cnt) > 1
     if r.negate:
         bad = ~bad  # singleton keys become the violators
     bad_keys = grouped.filter(bad).select(
-        *[F.col(c).alias(f"__bk_{c}") for c in keys]
+        *[F.col(c).alias(f"{bk}_{c}") for c in keys]
     )
     # null-SAFE semi join: without allow_na a duplicated NULL-key group must
     # still surface (SQL GROUP BY groups NULLs together; a plain equi-join
     # would silently drop them)
-    join_cond = _reduce(_and, [base[c].eqNullSafe(bad_keys[f"__bk_{c}"]) for c in keys])
+    join_cond = _reduce(_and, [base[c].eqNullSafe(bad_keys[f"{bk}_{c}"]) for c in keys])
     out = base.join(bad_keys, join_cond, "left_semi")
     if r.allow_na and r.negate:
         out = out.unionByName(df.filter(null_key))
@@ -762,6 +779,8 @@ def check_data_by(
         if missing:
             raise ValueError(f"uniqueness rule '{r.name}': column(s) {missing} not in DataFrame")
         key_cols = [c for c in r.unique_cols if c not in by_cols]
+        cnt = _safe_alias(df.columns, "__cnt")
+        isn = _safe_alias(df.columns, "__isnull")
         null_key = None
         for c in r.unique_cols:
             cond = F.col(c).isNull()
@@ -770,20 +789,20 @@ def check_data_by(
             df.select(*[F.col(c) for c in by_cols + key_cols])
             .groupBy(*[F.col(c) for c in by_cols + list(r.unique_cols)])
             .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.max(null_key.cast("int")).alias("__isnull"),
+                F.count(F.lit(1)).alias(cnt),
+                F.max(null_key.cast("int")).alias(isn),
             )
         )
-        ok = F.col("__cnt") == 1
+        ok = F.col(cnt) == 1
         if r.allow_na:
-            ok = ok | (F.col("__isnull") == 1)
+            ok = ok | (F.col(isn) == 1)
         if r.negate:
             ok = ~ok
         rows = (
             grouped.groupBy(*[F.col(c) for c in by_cols])
             .agg(
-                F.sum(F.col("__cnt")).alias("tests"),
-                F.sum(F.when(ok, F.col("__cnt")).otherwise(F.lit(0))).alias("pass"),
+                F.sum(F.col(cnt)).alias("tests"),
+                F.sum(F.when(ok, F.col(cnt)).otherwise(F.lit(0))).alias("pass"),
             )
             .select(
                 *by_cols,

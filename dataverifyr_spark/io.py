@@ -39,7 +39,16 @@ def _rule_to_mapping(r: Rule) -> dict[str, Any]:
     if isinstance(r, ReferenceRule):
         d.update(local_col=r.local_col, ref_dataset=r.ref_dataset, ref_col=r.ref_col)
     if isinstance(r, UniquenessRule):
-        # scalar (comma-joined) so the R-byte YAML writer stays scalar-only
+        # scalar (comma-joined) so the R-byte YAML writer stays scalar-only.
+        # A key column whose NAME contains a comma cannot round-trip through
+        # this encoding — it would silently re-split into a different key set
+        # on read, changing what the rule validates.  Refuse at write time.
+        bad = [c for c in r.unique_cols if "," in c]
+        if bad:
+            raise ValueError(
+                f"uniqueness rule {r.name!r}: column name(s) {bad} contain ',' "
+                "and cannot be serialized (unique_cols is comma-joined in YAML)"
+            )
         d.update(unique_cols=",".join(r.unique_cols))
     d.update(r.extra)
     d["index"] = r.index

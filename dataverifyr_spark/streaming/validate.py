@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..check import compile_rule_predicate
-from ..rules import ReferenceRule, Rule, Ruleset, ruleset
+from ..rules import ReferenceRule, Rule, Ruleset, UniquenessRule, ruleset
 
 __all__ = [
     "check_stream",
@@ -57,6 +57,10 @@ def _rule_aggs(rules: Ruleset) -> tuple[list[Column], list[Rule]]:
     for r in rules:
         if isinstance(r, ReferenceRule):
             raise ValueError("reference rules need a static lookup side; use foreachBatch")
+        if isinstance(r, UniquenessRule):
+            raise ValueError(
+                "uniqueness rules are aggregation rules; not supported in streaming"
+            )
         pred = compile_rule_predicate(r).column
         aggs.append(
             F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__p{len(good)}")
@@ -174,6 +178,13 @@ def validate_stream_windowed_to_sink(
             return
         spark = batch_df.sparkSession
         wm: float | None = None
+        # Only a genuinely-missing state dir may reset the watermark (first
+        # batch).  A transient read failure in a later batch must NOT be
+        # swallowed — silently resetting wm=None would count late rows as
+        # on-time with no signal, which is the exact divergence this
+        # accounting exists to prevent.
+        from pyspark.errors import AnalysisException
+
         try:
             prev = (
                 spark.read.option("recursiveFileLookup", "true")
@@ -183,7 +194,11 @@ def validate_stream_windowed_to_sink(
             prev_max = prev.agg(F.max("max_ts")).collect()[0][0]
             if prev_max is not None:
                 wm = float(prev_max) - delay_s
-        except Exception:  # noqa: BLE001 — first batch: no state dir yet
+        except AnalysisException as exc:
+            # path-not-found ⇒ first batch; any other analysis error is real
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             wm = None
 
         tagged = batch_df.withColumn("__w", F.window(F.col(time_col), window))

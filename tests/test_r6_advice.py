@@ -1,0 +1,57 @@
+"""Round-6 ADVICE regression tests: internal-alias collision proofing,
+streaming UniquenessRule guard, and comma-in-unique_cols serialization."""
+
+import pytest
+
+from dataverifyr_spark import (
+    check_data,
+    check_data_by,
+    ruleset,
+    unique_rule,
+    uniqueness_violations,
+    write_rules,
+)
+
+
+class TestAliasCollisions:
+    def test_check_data_unique_rule_with_cnt_column(self, spark):
+        # a dataset with columns literally named __cnt/__isnull must not
+        # break a valid uniqueness rule (AMBIGUOUS_REFERENCE regression)
+        df = spark.createDataFrame(
+            [(1, 9, 9), (2, 9, 9), (2, 9, 9)], ["k", "__cnt", "__isnull"]
+        )
+        row = check_data(df, ruleset(unique_rule("k", name="u"))).collect()[0]
+        assert not row["error"]
+        assert (row["tests"], row["pass"], row["fail"]) == (3, 1, 2)
+
+    def test_check_data_by_unique_rule_with_cnt_column(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("a", 1, 0), ("b", 1, 0)], ["g", "k", "__cnt"]
+        )
+        rows = {
+            r["g"]: (r["tests"], r["pass"], r["fail"])
+            for r in check_data_by(df, ruleset(unique_rule("k", name="u")), by="g").collect()
+        }
+        assert rows == {"a": (2, 0, 2), "b": (1, 1, 0)}
+
+    def test_uniqueness_violations_with_colliding_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 0), (2, 0, 0), (2, 0, 0)], ["k", "__cnt", "__bk_k"]
+        )
+        out = uniqueness_violations(df, unique_rule("k")).collect()
+        assert sorted(r["k"] for r in out) == [2, 2]
+
+
+class TestStreamingUniquenessGuard:
+    def test_rule_aggs_rejects_uniqueness_rule(self):
+        from dataverifyr_spark.streaming.validate import _rule_aggs
+
+        with pytest.raises(ValueError, match="aggregation rules"):
+            _rule_aggs(ruleset(unique_rule("clip_id", name="pk")))
+
+
+class TestCommaUniqueCols:
+    def test_write_rules_rejects_comma_column(self, tmp_path):
+        rs = ruleset(unique_rule("a,b", name="bad"))
+        with pytest.raises(ValueError, match="comma-joined"):
+            write_rules(rs, str(tmp_path / "r.yaml"))
