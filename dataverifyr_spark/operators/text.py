@@ -8,6 +8,7 @@ is expressible as ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,24 +109,85 @@ def bpe_train(
     return merges
 
 
-def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
-    """BPE token count per row, applying a trained merge table — PURE
-    Catalyst (zero Python in the row path): per word, the symbol sequence is
-    the space-joined character split, each merge applies as one literal
+# above this merge count the Catalyst arm's one-replace-node-per-merge plan
+# leaves the codegen comfort zone (and a 32k-merge production tokenizer would
+# blow the plan up entirely) — switch to the broadcast Arrow UDF arm, the
+# same adaptive literal/UDF pattern as similarity._lsh_codes and
+# ivf.assign_clusters
+_BPE_CATALYST_MAX_MERGES = 30
+
+
+def bpe_token_count(
+    text: Column,
+    merges: list[tuple[str, str]],
+    max_catalyst_merges: int = _BPE_CATALYST_MAX_MERGES,
+) -> Column:
+    """BPE token count per row, applying a trained merge table.
+
+    Small tables (≤ ``max_catalyst_merges``): PURE Catalyst (zero Python in
+    the row path) — per word, the symbol sequence is the space-joined
+    character split, each merge applies as one literal
     leftmost-non-overlapping ``replace`` (the Sennrich space-joined
     representation, where Python ``str.replace``, Spark ``replace`` and SQL
     ``REPLACE`` all agree), and the count is the surviving symbol count,
     summed across words.  len(merges) replace nodes per row — a ~30-merge
-    table stays comfortably inside whole-stage codegen."""
+    table stays comfortably inside whole-stage codegen.
 
-    def word_tokens(w: Column) -> Column:
-        s = F.trim(F.regexp_replace(F.lower(w), "(.)", "$1 "))
-        for a, b in merges:
-            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
-        return F.size(F.split(s, " "))
+    Large tables (a production tokenizer is 32k merges): ONE Arrow-batched
+    pandas UDF applies the identical sequential-replace semantics per
+    DISTINCT word with a per-worker word→count cache (word repetition makes
+    the amortized cost one dict hit per token), and the merge table ships to
+    each executor ONCE as a broadcast variable — never inside the serialized
+    plan (r5 VERDICT #3).  The two arms are semantics-identical by
+    construction (same lowercase, same space-joined representation, same
+    leftmost-non-overlapping replace order); path equality is pinned in
+    tests/test_operators.py."""
+    if len(merges) <= max_catalyst_merges:
 
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
-    return F.aggregate(words, F.lit(0), lambda acc, w: acc + word_tokens(w))
+        def word_tokens(w: Column) -> Column:
+            s = F.trim(F.regexp_replace(F.lower(w), "(.)", "$1 "))
+            for a, b in merges:
+                s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+            return F.size(F.split(s, " "))
+
+        words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+        return F.aggregate(words, F.lit(0), lambda acc, w: acc + word_tokens(w))
+
+    import re as _re
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("bpe_token_count's UDF arm needs an active SparkSession")
+    bc = spark.sparkContext.broadcast([(a, b) for a, b in merges])
+    ws = _re.compile(r"\s+")
+
+    cache: dict[str, int] = {}  # per-worker: survives across Arrow batches
+
+    @F.pandas_udf("int")
+    def _bpe_count(texts: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def word_count(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            s = " ".join(w.lower())
+            for a, b in ms:
+                s = s.replace(f"{a} {b}", a + b)
+            n = s.count(" ") + 1
+            if len(cache) < 1_000_000:  # bound worker memory at open vocab
+                cache[w] = n
+            return n
+
+        out = [
+            None if t is None else sum(word_count(w) for w in ws.split(t) if w)
+            for t in texts
+        ]
+        return pd.Series(out, dtype="object")
+
+    return _bpe_count(text)
 
 
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

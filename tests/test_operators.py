@@ -1072,6 +1072,112 @@ class TestBpe:
         phys = buf.getvalue().split("== Physical Plan ==")[-1]
         assert "Python" not in phys, phys
 
+    def test_udf_arm_path_equality(self, spark):
+        """r6 (VERDICT #3): the broadcast Arrow-UDF arm must produce the
+        EXACT token counts of the Catalyst arm on the same merge table —
+        forced by max_catalyst_merges=0."""
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.operators.text import bpe_token_count, bpe_train
+
+        texts = [
+            "the quick brown fox jumps over lazy dogs",
+            "lower lowest newest west nest",
+            "a ab abc abcd aaa aaaa",
+            "  spaced   out  ",
+            "MIXED Case WORDS too",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)] + [(99, None)],
+            "doc_id int, text string",
+        )
+        merges = bpe_train(df, num_merges=30)
+        cat = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe_token_count(F.col("text"), merges).alias("n")
+            ).collect()
+        }
+        udf = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id",
+                bpe_token_count(F.col("text"), merges, max_catalyst_merges=0).alias("n"),
+            ).collect()
+        }
+        assert cat == udf
+        assert cat[99] is None  # NULL text stays NULL on both arms
+
+    def test_udf_arm_plan_is_single_arrow_node(self, spark):
+        """The large-merge arm must plan as ONE ArrowEvalPython (broadcast
+        merge table, no per-merge plan nodes)."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.operators.text import bpe_token_count
+
+        merges = [("a", chr(98 + i % 20)) for i in range(200)]
+        df = spark.createDataFrame([(0, "some text here")], "doc_id int, text string")
+        plan_df = df.select(bpe_token_count(F.col("text"), merges).alias("n"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        assert phys.count("ArrowEvalPython") == 1, phys
+
+    def test_udf_arm_production_scale_merges(self, spark):
+        """Functional at a production-shaped table: ≥1k merges trained on a
+        wide synthetic vocabulary, applied through the UDF arm, checked
+        against the driver-side sequential-replace reference (the identical
+        semantics both arms implement)."""
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.operators.text import bpe_token_count, bpe_train
+
+        # 2000 distinct pseudo-random words over 26 letters — enough distinct
+        # adjacent-pair diversity that >1k merges are learnable (shared-prefix
+        # vocabularies exhaust their distinct pairs after a few hundred)
+        import random
+
+        rng = random.Random(42)
+        words = sorted(
+            {
+                "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(6, 12)))
+                for _ in range(2200)
+            }
+        )[:2000]
+        rows = [
+            (i, " ".join(words[(i * 13 + j) % len(words)] for j in range(40)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        merges = bpe_train(df, num_merges=1200, uniform=True)
+        assert len(merges) >= 1000, len(merges)
+
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe_token_count(F.col("text"), merges).alias("n")
+            ).collect()
+        }
+
+        def py_bpe(text):
+            total = 0
+            for w in text.lower().split():
+                s = " ".join(w)
+                for a, b in merges:
+                    s = s.replace(f"{a} {b}", a + b)
+                total += len(s.split(" "))
+            return total
+
+        for i, t in rows[:10]:  # spot-check 10 docs against the reference
+            assert got[i] == py_bpe(t), (i, got[i], py_bpe(t))
+        # merged tokens must compress well below the character count
+        chars = {i: len(t.replace(" ", "")) for i, t in rows}
+        assert all(got[i] < chars[i] / 2 for i, _ in rows[:10])
+
 
 class TestConnectedComponentsStress:
     """r5 (VERDICT ask #7): adversarial chain/star topologies — round count
