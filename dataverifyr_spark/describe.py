@@ -104,10 +104,23 @@ def _stat_aggs(fields: list[T.StructField], fast: bool, approx: bool) -> list[Co
                 aggs.append(F.count_distinct(c).alias(f"nd__{name}"))
             aggs.append(F.max(c.isNull().cast("long")).alias(f"anynull__{name}"))
             if approx:
-                # accuracy=100 ⇒ ~1% rank error, fine for a profile median;
-                # the default (10000) measured 14x the cost of the entire
-                # rest of the profile combined
-                aggs.append(F.percentile_approx(val, 0.5, 100).alias(f"med__{name}"))
+                # r6: KLL quantile sketch (DataSketches, built into Spark 4)
+                # replaces percentile_approx(0.5, acc=100) — measured 3.2×
+                # faster on 16 double columns × 10M rows (1.96 s vs 6.35 s,
+                # BENCH.md r6) at comparable ~1% rank error, bringing the
+                # median down to roughly the cost of min/mean/max/sd.  The
+                # count() guard returns NULL for all-NULL columns (an empty
+                # KLL buffer otherwise raises KLL_INVALID_INPUT_SKETCH_BUFFER);
+                # percentile_approx's default accuracy (10000) had measured
+                # 14× the cost of the entire rest of the profile combined.
+                aggs.append(
+                    F.when(
+                        F.count(val) > 0,
+                        F.kll_sketch_get_quantile_double(
+                            F.kll_sketch_agg_double(val), F.lit(0.5)
+                        ),
+                    ).alias(f"med__{name}")
+                )
             else:
                 aggs.append(F.expr(f"percentile(`__val_{name}`, 0.5)").alias(f"med__{name}"))
         aggs.append(F.min(val).alias(f"min__{name}"))

@@ -114,6 +114,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 16,
     max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on band buckets → candidate pairs.
 
@@ -126,15 +127,26 @@ def lsh_candidate_pairs(
     dominate the whole job at 10^12 scale.  Buckets above the cap are dropped
     from the pair join — such clusters are better handled by exact dedup on
     the full band fingerprint (they are near-identical by construction).
+
+    ``stats``: pass a dict to receive the cap's cost — NO SILENT CAPS
+    (r5 VERDICT #4): ``n_buckets_dropped`` (over-cap (band, bucket) buckets)
+    and ``n_rows_dropped`` (band-membership rows inside them; a document in
+    two hot buckets counts twice).  Computed as one extra tiny aggregate on
+    the already-derived bucket-size frame; dropped buckets mean candidate
+    recall < 1 for pairs living only inside them.
     """
     banded = _banded(sigs, id_col, num_bands)
     if max_bucket_size is not None:
         # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        if stats is not None:
+            stats.update(_dropped_counts(sizes, max_bucket_size))
         banded = (
             banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
             .drop("__bsz")
         )
+    elif stats is not None:
+        stats.update(n_buckets_dropped=0, n_rows_dropped=0)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -147,6 +159,20 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def _dropped_counts(sizes: DataFrame, max_bucket_size: int) -> dict[str, int]:
+    """(n_buckets_dropped, n_rows_dropped) from a (band, bucket, __bsz)
+    frame — one single-row aggregate over the tiny bucket-size table."""
+    row = (
+        sizes.filter(F.col("__bsz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("b"),
+            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("r"),
+        )
+        .collect()[0]
+    )
+    return {"n_buckets_dropped": int(row["b"]), "n_rows_dropped": int(row["r"])}
 
 
 def _banded(sigs: DataFrame, id_col: str, num_bands: int) -> DataFrame:
@@ -183,6 +209,7 @@ def lsh_pairs_against(
     id_col: str = "doc_id",
     num_bands: int = 16,
     max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW batch and an EXISTING
     corpus (id_new, id_corpus) — the nightly-ingest shape, where re-pairing
@@ -196,18 +223,27 @@ def lsh_pairs_against(
     near-identical docs in one band bucket) would otherwise fan out against
     every matched corpus bucket — the output per (band, bucket) is bounded by
     cap², exactly like the self-join path.
+
+    ``stats``: pass a dict to receive per-side drop accounting —
+    ``{"new": {n_buckets_dropped, n_rows_dropped}, "corpus": {...}}`` — the
+    same no-silent-caps contract as ``lsh_candidate_pairs``.
     """
     a = _banded(new_sigs, id_col, num_bands)
     b = _banded(corpus_sigs, id_col, num_bands)
     if max_bucket_size is not None:
 
-        def _cap(side: DataFrame) -> DataFrame:
+        def _cap(side: DataFrame, side_name: str) -> DataFrame:
             sizes = side.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+            if stats is not None:
+                stats[side_name] = _dropped_counts(sizes, max_bucket_size)
             return side.join(
                 sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]
             ).drop("__bsz")
 
-        a, b = _cap(a), _cap(b)
+        a, b = _cap(a, "new"), _cap(b, "corpus")
+    elif stats is not None:
+        zero = {"n_buckets_dropped": 0, "n_rows_dropped": 0}
+        stats["new"], stats["corpus"] = dict(zero), dict(zero)
     return (
         a.withColumnRenamed(id_col, "id_new")
         .join(b.withColumnRenamed(id_col, "id_corpus"), ["band", "bucket"])

@@ -17,9 +17,11 @@ the WAV-PCM16 audio path (``dataverifyr_spark.audio.wav``):
   ``FRAME\\n``-prefixed raw planar frames); frame SAMPLING seeks by offset
   arithmetic without touching unsampled frames' bytes.
 
-Only compressed VIDEO codecs (H.264 etc.) still require libraries absent
-here and stay behind the honest stub in ``operators.multimodal``; everything
-here is a complete, round-trippable implementation with pinned-byte tests.
+Compressed video is covered by its own real parsers — ``operators.h264``
+(Annex-B NAL/SPS/slice header walk) and ``operators.mjpeg`` (full pixel
+decode) — and everything here is a complete, round-trippable implementation
+with pinned-byte tests.  Codecs genuinely absent in this environment swap
+in via ``register_decoder`` / ``multimodal.register_feature_extractor``.
 
 All per-row work runs inside Arrow batches (``mapInPandas`` /
 ``extract_media_features``-style plumbing) — numpy slicing per item, no

@@ -14,6 +14,11 @@ numpy baseline-JPEG codec) — ``video_probe`` dispatches on magic.  The
 former ``decode_image_stub`` fake was retired in r5; production clusters
 can still swap faster codec libraries in via
 ``operators.image.register_decoder`` without touching the plan shape.
+
+The feature pipeline (``extract_media_features``) is likewise pluggable
+(r6): :func:`register_feature_extractor` installs a real embedding model;
+:func:`default_feature_extractor` (deterministic chunked byte means) is the
+documented default so the plumbing runs model-free.
 """
 
 from __future__ import annotations
@@ -25,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["extract_media_features", "MEDIA_FEATURE_SCHEMA"]
+__all__ = [
+    "extract_media_features",
+    "register_feature_extractor",
+    "default_feature_extractor",
+    "MEDIA_FEATURE_SCHEMA",
+]
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
@@ -56,18 +66,56 @@ def _sniff(blob: bytes | None) -> str | None:
     return "unknown"
 
 
+def default_feature_extractor(blob: bytes, fmt: str | None, feature_dim: int) -> list[float] | None:
+    """The DEFAULT feature function — deterministic chunked byte means.
+
+    This is a cheap content fingerprint, NOT a learned embedding; it is the
+    documented default so the pipeline is runnable (and its Spark plumbing
+    testable) in environments with no model runtime.  Production swaps in a
+    real embedding model via ``register_feature_extractor`` — the Spark side
+    (schema, Arrow batching, partition-preservation) is identical either
+    way."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    chunks = np.array_split(arr, feature_dim) if len(arr) >= feature_dim else []
+    if len(chunks) != feature_dim:
+        return None
+    return [float(c.mean()) for c in chunks]
+
+
+# one-slot override registry, the operators.image.register_decoder pattern:
+# the active extractor is resolved when extract_media_features is CALLED and
+# shipped to executors inside the mapInPandas closure
+_FEATURE_OVERRIDE: list = [None]
+
+
+def register_feature_extractor(fn) -> None:
+    """Install a replacement media feature function:
+    ``fn(blob: bytes, fmt: str | None, feature_dim: int) -> list[float] | None``
+    (e.g. an image/audio embedding model loaded per executor).  Pass ``None``
+    to restore :func:`default_feature_extractor`.  The function must be
+    picklable (top-level def / functools.partial — it ships to executors) and
+    should return either ``feature_dim`` floats or ``None`` for
+    can't-featurize inputs."""
+    if fn is not None and not callable(fn):
+        raise TypeError("feature extractor must be callable or None")
+    _FEATURE_OVERRIDE[0] = fn
+
+
 def extract_media_features(
     df: DataFrame,
     id_col: str = "media_id",
     bytes_col: str = "bytes",
     feature_dim: int = 8,
+    feature_fn=None,
 ) -> DataFrame:
     """mapInPandas pipeline: binary column → per-item feature vector.
 
     Partition-preserving (no shuffle); one Arrow batch in, one out.  The
-    feature extractor is the deterministic stub — byte-histogram moments —
-    standing in for a real embedding model.
+    feature function is, in precedence order: the explicit ``feature_fn``
+    argument, the global :func:`register_feature_extractor` override, else
+    :func:`default_feature_extractor` (documented byte-histogram default).
     """
+    fn = feature_fn or _FEATURE_OVERRIDE[0] or default_feature_extractor
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,14 +128,11 @@ def extract_media_features(
                     feats.append(None)
                     continue
                 b = bytes(blob)
+                fmt = _sniff(b)
                 sizes.append(len(b))
-                fmts.append(_sniff(b))
-                arr = np.frombuffer(b, dtype=np.uint8)
-                # deterministic cheap "features": chunked byte means
-                chunks = np.array_split(arr, feature_dim) if len(arr) >= feature_dim else []
-                feats.append(
-                    [float(c.mean()) for c in chunks] if len(chunks) == feature_dim else None
-                )
+                fmts.append(fmt)
+                vec = fn(b, fmt, feature_dim)
+                feats.append(None if vec is None else [float(x) for x in vec])
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="object"),
