@@ -131,6 +131,57 @@ def bench_queries(
         .collect(),
     )
 
+    # skewed dedup corpus (r5 VERDICT #7): 90% of documents are boilerplate —
+    # ~5% one MEGA identical cluster (over the cap → dropped + accounted),
+    # ~85% spread over 240 medium boilerplate variants (each a hot band
+    # bucket under the cap → full B²/2 pair fan-out) — then the whole
+    # candidate set through connected components to dedup groups.  This is
+    # the worst documented production shape for banded LSH; the entry proves
+    # the pair join stays output-bound and the cap kills the quadratic
+    # cluster instead of the job.
+    docs_skew = (
+        docs.withColumn("doc_id", F.monotonically_increasing_id())
+        .withColumn("__r", F.abs(F.xxhash64("doc_id", F.lit(1))) % 100)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("__r") < 5,
+                F.lit("mega boilerplate cluster identical text repeated across the entire corpus forever"),
+            )
+            .when(
+                F.col("__r") < 90,
+                F.concat(
+                    F.lit("subscribe to newsletter boilerplate variant number "),
+                    (F.abs(F.xxhash64("doc_id", F.lit(2))) % 240).cast("string"),
+                    F.lit(" terms and conditions apply to everyone today"),
+                ),
+            )
+            .otherwise(F.col("text")),
+        )
+        .drop("__r")
+        .cache()
+    )
+    docs_skew.count()
+
+    def skewed_dedup():
+        from dataverifyr_spark.operators.components import connected_components
+
+        stats: dict = {}
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(docs_skew, num_hashes=32),
+            num_bands=8,
+            max_bucket_size=500,
+            stats=stats,
+        )
+        n_groups = (
+            connected_components(pairs)
+            .agg(F.count_distinct(F.col("component")).alias("g"))
+            .collect()[0]["g"]
+        )
+        skewed_dedup.last = {"n_groups": int(n_groups), **stats}
+
+    run("dedup_lsh_skewed_groups", skewed_dedup)
+
     # hot-key FK: 90% of orders share one custkey, broadcast DISABLED so the
     # membership join takes the sort-merge shape of a too-big-to-broadcast
     # reference at 10^12 rows; AQE skew-join (session default) splits the hot
@@ -268,6 +319,8 @@ def bench_queries(
     h264.unpersist()
     mjp.unpersist()
     longs.unpersist()
+    docs_skew.unpersist()
+    bench_queries.skew_stats = getattr(skewed_dedup, "last", {})
     return timings, spreads, n_rows
 
 
@@ -527,6 +580,9 @@ def main() -> None:
                 ),
                 "n_long_clips": N_LONG_CLIPS,
                 "n_segment_rows": getattr(bench_queries, "n_seg_rows", None),
+                # skewed-corpus dedup evidence (r6): group count + what the
+                # hot-bucket cap dropped (no silent caps)
+                "skewed_dedup": getattr(bench_queries, "skew_stats", None),
             }
         )
     )
