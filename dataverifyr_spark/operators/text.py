@@ -93,13 +93,69 @@ def bpe_train(
     vocab: dict[str, int] = {
         " ".join(r["w"]): (1 if uniform else int(r["c"])) for r in words
     }
+    return _bpe_merge_loop(vocab, num_merges)
+
+
+def _word_pairs(w: str) -> list[tuple[str, str]]:
+    syms = w.split(" ")
+    return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+
+def _bpe_merge_loop(vocab: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Incremental Sennrich merge loop (r6): pair counts are maintained by
+    DELTA — each merge rescans only the words whose flat string contains the
+    merged pair (a C-level substring test over the vocab, not a Python
+    re-count of every word's pairs), so training cost is
+    O(merges × vocab) cheap substring checks + O(affected-word updates)
+    instead of O(merges × vocab × word_len) Python pair loops (~50× at a
+    production 32k-merge / 50k-word table).  Output is IDENTICAL to the
+    from-scratch reference loop — same best-pair rule (max count, then
+    lexicographically smallest) and the same flat-string
+    leftmost-non-overlapping replace the apply paths and the SQL oracle use
+    (including its cross-symbol-boundary matches) — pinned by an equality
+    test against ``_bpe_merge_loop_reference``.
+
+    Distinct vocab keys can never collide after a replace (despacing a key
+    recovers the original word, which is unique), so freq bookkeeping is a
+    plain move."""
+    pair_counts: dict[tuple[str, str], int] = {}
+    for w, freq in vocab.items():
+        for p in _word_pairs(w):
+            pair_counts[p] = pair_counts.get(p, 0) + freq
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        (a, b), _n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        pat, rep = f"{a} {b}", a + b
+        affected = [w for w in vocab if pat in w]
+        for w in affected:
+            freq = vocab.pop(w)
+            for p in _word_pairs(w):
+                c = pair_counts[p] - freq
+                if c > 0:
+                    pair_counts[p] = c
+                else:
+                    del pair_counts[p]
+            nw = w.replace(pat, rep)
+            vocab[nw] = vocab.get(nw, 0) + freq
+            for p in _word_pairs(nw):
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+    return merges
+
+
+def _bpe_merge_loop_reference(
+    vocab: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """From-scratch reference implementation (the r5 loop) — kept ONLY as
+    the equality oracle for ``_bpe_merge_loop``; never called in
+    production."""
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: dict[tuple[str, str], int] = {}
         for w, freq in vocab.items():
-            syms = w.split(" ")
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
+            for p in _word_pairs(w):
                 pairs[p] = pairs.get(p, 0) + freq
         if not pairs:
             break

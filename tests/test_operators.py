@@ -1231,6 +1231,43 @@ class TestBpe:
         chars = {i: len(t.replace(" ", "")) for i, t in rows}
         assert all(got[i] < chars[i] / 2 for i, _ in rows[:10])
 
+    def test_incremental_trainer_equals_reference(self):
+        """r6: the delta-maintained merge loop must emit the EXACT merge
+        sequence of the from-scratch reference loop — including the
+        flat-string replace's cross-symbol-boundary matches and the
+        (max count, lexicographically-smallest) tie-break — on adversarial
+        corpora: repeated chars, shared prefixes/suffixes, skewed
+        frequencies."""
+        import random
+
+        from dataverifyr_spark.operators.text import (
+            _bpe_merge_loop,
+            _bpe_merge_loop_reference,
+        )
+
+        def vocab_of(words, freqs=None):
+            return {
+                " ".join(w): (freqs[i] if freqs else 1)
+                for i, w in enumerate(words)
+            }
+
+        corpora = [
+            vocab_of(["aaa", "aaaa", "aab", "baa"]),           # overlap traps
+            vocab_of(["lower", "lowest", "newest", "widest"], [5, 2, 6, 3]),
+            vocab_of(["xab", "a", "b", "ab"]),                  # boundary match
+        ]
+        rng = random.Random(7)
+        for _ in range(4):
+            words = {
+                "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+                for _ in range(60)
+            }
+            corpora.append(vocab_of(sorted(words), None))
+        for vocab in corpora:
+            ref = _bpe_merge_loop_reference(dict(vocab), 40)
+            fast = _bpe_merge_loop(dict(vocab), 40)
+            assert fast == ref, (vocab, fast[:5], ref[:5])
+
 
 class TestConnectedComponentsStress:
     """r5 (VERDICT ask #7): adversarial chain/star topologies — round count
