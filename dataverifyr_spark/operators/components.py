@@ -110,19 +110,25 @@ def embedding_dedup_groups(
     id_col: str = "vec_id",
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine dedup groups: banded hyperplane-LSH pairs →
     connected components → (id, component, is_kept) — the embedding analog
     of :func:`near_dup_groups` ("keep one representative per cluster of
     near-identical vectors"), e.g. dropping re-embedded duplicates from a
     training corpus.  Every stage is bucketed equi-joins + the CC label
-    pass; no cross join at any size."""
+    pass; no cross join at any size.
+
+    ``stats``: pass a dict to receive the whole pipeline's observability —
+    the LSH cap's ``n_buckets_dropped``/``n_rows_dropped`` (no silent caps,
+    r6) plus CC's ``rounds``/``converged``."""
     from .similarity import embedding_near_dup_pairs
 
     pairs = embedding_near_dup_pairs(
-        df, dim, threshold, bits, bands, vec_col, id_col, seed, max_bucket_size
+        df, dim, threshold, bits, bands, vec_col, id_col, seed, max_bucket_size,
+        stats=stats,
     )
-    comps = connected_components(pairs.select("id_a", "id_b"))
+    comps = connected_components(pairs.select("id_a", "id_b"), stats=stats)
     out = (
         df.select(F.col(id_col))
         .join(comps, df[id_col] == comps["node"], "left")
@@ -143,17 +149,22 @@ def near_dup_groups(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH candidate pairs →
     exact-Jaccard verify → connected components → (id, component, is_kept).
 
     ``is_kept`` marks the minimum id per component — filter on it to produce
     the deduplicated corpus; everything stays distributed.
+
+    ``stats``: pass a dict to receive the pipeline's observability — the
+    LSH cap's ``n_buckets_dropped``/``n_rows_dropped`` (no silent caps, r6)
+    plus CC's ``rounds``/``converged``.
     """
     from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
 
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, max_bucket_size)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, max_bucket_size, stats=stats)
     texts = docs.select(F.col(id_col), F.col(text_col))
     enriched = (
         pairs.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
@@ -162,7 +173,7 @@ def near_dup_groups(
     verified = ngram_jaccard(enriched, "text_a", "text_b", shingle_k).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    comps = connected_components(verified.select("id_a", "id_b"))
+    comps = connected_components(verified.select("id_a", "id_b"), stats=stats)
     out = docs.select(F.col(id_col)).join(
         comps, docs[id_col] == comps["node"], "left"
     ).select(

@@ -221,6 +221,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: ``bands`` independent
     random-hyperplane LSH codes → within-bucket equi-join per band →
@@ -234,7 +235,13 @@ def embedding_near_dup_pairs(
     coarsening the buckets).  The per-(band,bucket) size cap bounds the
     quadratic cost of degenerate clusters (e.g. all-zero embeddings)
     exactly like the MinHash-LSH path.  No cross join anywhere.
+
+    ``stats``: pass a dict to receive ``n_buckets_dropped`` /
+    ``n_rows_dropped`` — the same no-silent-caps accounting as
+    ``dedup.lsh_candidate_pairs`` (r6).
     """
+    from .dedup import _dropped_counts
+
     band_seeds = [seed + 7919 * b for b in range(bands)]
     codes = df.select(
         F.col(id_col),
@@ -243,9 +250,13 @@ def embedding_near_dup_pairs(
     )
     if max_bucket_size is not None:
         sizes = codes.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        if stats is not None:
+            stats.update(_dropped_counts(sizes, max_bucket_size))
         codes = codes.join(
             sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]
         ).drop("__bsz")
+    elif stats is not None:
+        stats.update(n_buckets_dropped=0, n_rows_dropped=0)
     slim = codes.select(id_col, "band", "bucket")
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
