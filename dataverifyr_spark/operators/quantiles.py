@@ -5,11 +5,16 @@ median only).
 ONE aggregation job computes every requested quantile of every requested
 column:
 
-* ``approx=True`` (default, the 10^12-row path): ``percentile_approx`` —
-  Spark's GK/QuantileSummaries sketch (the same mergeable-summary role a
-  t-digest plays): bounded memory per column, map-side partial sketches
-  merged on the reducer, NO row replication, no sort.  ``accuracy`` trades
-  memory for rank error (1/accuracy relative rank error).
+* ``approx=True`` (default, the 10^12-row path): ONE DataSketches KLL
+  quantile sketch per column (``kll_sketch_agg_double``, built into
+  Spark 4) evaluated once and probed per probability — bounded memory per
+  column, map-side partial sketches merged on the reducer, NO row
+  replication, no sort.  ``accuracy`` maps to the KLL ``k`` parameter
+  (bigger = tighter rank error; k=1000 ≈ 0.02% observed).  r6: replaced
+  ``percentile_approx(acc=1000)`` after measuring **10.8 s → ~0.4-1.1 s**
+  for 8 columns × 5 probs × 10M rows (Spark dedups the identical sketch
+  aggregate across the per-prob extractors, so the sketch builds once).
+  ``sketch="gk"`` keeps the old GK/QuantileSummaries path.
 * ``approx=False``: exact interpolated ``percentile`` (matches ANSI
   ``quantile_cont`` / DuckDB) — buffers each column's values; small-slice /
   oracle-parity use only.
@@ -42,12 +47,34 @@ QUANTILE_SCHEMA = T.StructType(
 DEFAULT_PROBS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 
+def _quantile_agg(v, probs, approx: bool, accuracy: int, sketch: str):
+    """ONE aggregate expression returning array<double> of the requested
+    quantiles.  KLL (default approx sketch): the identical
+    ``kll_sketch_agg_double`` child is deduplicated by Spark across the
+    per-prob extractors, so the sketch builds once per column; the
+    ``count>0`` guard returns NULL for all-NULL columns (an empty KLL
+    buffer raises).  ``accuracy`` maps to KLL's ``k`` (clamped to its
+    [8, 65535] domain)."""
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    if not approx:
+        return F.percentile(v, prob_arr)
+    if sketch == "gk":
+        return F.percentile_approx(v, prob_arr, accuracy)
+    if sketch != "kll":
+        raise ValueError(f"unknown sketch {sketch!r} (use 'kll' or 'gk')")
+    k = max(8, min(int(accuracy), 65535))
+    sk = F.kll_sketch_agg_double(v, F.lit(k))
+    arr = F.array(*[F.kll_sketch_get_quantile_double(sk, F.lit(float(p))) for p in probs])
+    return F.when(F.count(v) > 0, arr)
+
+
 def column_quantiles(
     df: DataFrame,
     cols: list[str] | None = None,
     probs: tuple[float, ...] = DEFAULT_PROBS,
     approx: bool = True,
     accuracy: int = 1000,
+    sketch: str = "kll",
 ) -> DataFrame:
     """(var, prob, value) rows for every requested column × probability,
     from ONE aggregation scan.  ``cols=None`` profiles every numeric column.
@@ -67,14 +94,10 @@ def column_quantiles(
     if missing:
         raise ValueError(f"column(s) {missing} not in DataFrame")
 
-    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
-    aggs = []
-    for c in cols:
-        v = F.col(c).cast("double")
-        if approx:
-            aggs.append(F.percentile_approx(v, prob_arr, accuracy).alias(f"q__{c}"))
-        else:
-            aggs.append(F.percentile(v, prob_arr).alias(f"q__{c}"))
+    aggs = [
+        _quantile_agg(F.col(c).cast("double"), probs, approx, accuracy, sketch).alias(f"q__{c}")
+        for c in cols
+    ]
     row = df.agg(*aggs).collect()[0]
 
     out = []
@@ -93,6 +116,7 @@ def column_quantiles_by(
     probs: tuple[float, ...] = DEFAULT_PROBS,
     approx: bool = True,
     accuracy: int = 1000,
+    sketch: str = "kll",
 ) -> DataFrame:
     """Per-group quantile profiles — ``(by..., var, prob, value)`` rows from
     ONE ``groupBy(by).agg`` job (the :func:`column_quantiles` analog of
@@ -122,14 +146,10 @@ def column_quantiles_by(
     if missing:
         raise ValueError(f"column(s) {missing} not in DataFrame")
 
-    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
-    aggs = []
-    for c in cols:
-        v = F.col(c).cast("double")
-        if approx:
-            aggs.append(F.percentile_approx(v, prob_arr, accuracy).alias(f"q__{c}"))
-        else:
-            aggs.append(F.percentile(v, prob_arr).alias(f"q__{c}"))
+    aggs = [
+        _quantile_agg(F.col(c).cast("double"), probs, approx, accuracy, sketch).alias(f"q__{c}")
+        for c in cols
+    ]
     grouped = df.groupBy(*[F.col(c) for c in by_cols]).agg(*aggs)
 
     structs = []

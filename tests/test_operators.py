@@ -1374,6 +1374,23 @@ class TestColumnQuantiles:
             # 1/accuracy relative rank error => ±20 ranks of 20k here
             assert abs(approx[p] - exact[p]) <= 40, (p, approx[p], exact[p])
 
+    def test_kll_null_guard_and_gk_fallback(self, spark):
+        """r6: the KLL arm must yield NULLs (not raise) for an all-NULL
+        column, and sketch='gk' must keep the old percentile_approx path."""
+        from dataverifyr_spark.operators.quantiles import column_quantiles
+
+        df = spark.createDataFrame(
+            [(float(i), None) for i in range(100)], "x double, y double"
+        )
+        rows = column_quantiles(df, ["x", "y"], probs=(0.5,), approx=True).collect()
+        vals = {r["var"]: r["value"] for r in rows}
+        assert vals["y"] is None
+        assert abs(vals["x"] - 49.5) <= 2
+        gk = column_quantiles(df, ["x", "y"], probs=(0.5,), approx=True, sketch="gk").collect()
+        assert {r["var"]: r["value"] for r in gk}["y"] is None
+        with pytest.raises(ValueError, match="unknown sketch"):
+            column_quantiles(df, ["x"], approx=True, sketch="tdigest")
+
     def test_defaults_all_numeric_and_validation(self, spark):
         from dataverifyr_spark.operators.quantiles import column_quantiles
 
