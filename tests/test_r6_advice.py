@@ -87,3 +87,24 @@ class TestPipelineStatsThreading:
         assert out.count() == 9
         assert stats["n_buckets_dropped"] == 0 and stats["n_rows_dropped"] == 0
         assert stats["converged"] is True
+
+
+class TestKllMedianGuards:
+    def test_describe_by_group_with_all_null_column(self, spark):
+        """r6: a GROUP whose column is entirely NULL must profile to a NULL
+        median (empty per-group KLL buffer raises without the count guard)."""
+        import dataverifyr_spark as dv
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)], "g string, x double"
+        )
+        out = {r["g"]: r for r in dv.describe_by(df, by="g", approx=True).filter("var = 'x'").collect()}
+        assert out["b"]["median"] is None and out["b"]["n_na"] == 2
+        assert out["a"]["median"] is not None
+
+    def test_describe_all_null_column(self, spark):
+        import dataverifyr_spark as dv
+
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        row = dv.describe(df, top_n=0, approx=True).collect()[0]
+        assert row["median"] is None and row["n_na"] == 2
