@@ -118,12 +118,14 @@ def bench_queries(
         lambda: distinct_count_salted(li, ["l_orderkey", "l_linenumber"]),
     )
     run("dedup_exact_groups", lambda: exact_dup_groups(docs).filter("n_copies > 1").count())
-    run(
-        "dedup_minhash_lsh",
-        lambda: lsh_candidate_pairs(
-            minhash_signatures(docs, num_hashes=32), num_bands=8
-        ).count(),
-    )
+    def minhash_lsh():
+        stats: dict = {}
+        n = lsh_candidate_pairs(
+            minhash_signatures(docs, num_hashes=32), num_bands=8, stats=stats
+        ).count()
+        minhash_lsh.last = {"n_candidate_pairs": int(n), **stats}
+
+    run("dedup_minhash_lsh", minhash_lsh)
     run(
         "simhash_documents",
         lambda: simhash(docs, bits=64)
@@ -321,6 +323,7 @@ def bench_queries(
     longs.unpersist()
     docs_skew.unpersist()
     bench_queries.skew_stats = getattr(skewed_dedup, "last", {})
+    bench_queries.lsh_stats = getattr(minhash_lsh, "last", {})
     return timings, spreads, n_rows
 
 
@@ -583,6 +586,7 @@ def main() -> None:
                 # skewed-corpus dedup evidence (r6): group count + what the
                 # hot-bucket cap dropped (no silent caps)
                 "skewed_dedup": getattr(bench_queries, "skew_stats", None),
+                "dedup_minhash_lsh_stats": getattr(bench_queries, "lsh_stats", None),
             }
         )
     )
