@@ -121,13 +121,16 @@ def _stat_aggs(fields: list[T.StructField], fast: bool, approx: bool) -> list[Co
                 # faster on 16 double columns × 10M rows (1.96 s vs 6.35 s,
                 # BENCH.md r6) at comparable ~1% rank error, bringing the
                 # median down to roughly the cost of min/mean/max/sd.  The
-                # count() guard returns NULL for all-NULL columns (an empty
-                # KLL buffer otherwise raises KLL_INVALID_INPUT_SKETCH_BUFFER);
-                # percentile_approx's default accuracy (10000) had measured
-                # 14× the cost of the entire rest of the profile combined.
+                # guard counts NON-NaN values: the KLL sketch silently
+                # ignores NaN updates, so an all-NaN column (not just
+                # all-NULL) leaves an EMPTY buffer and get_quantile raises
+                # KLL_INVALID_INPUT_SKETCH_BUFFER — count(val)>0 alone lets
+                # that through.  percentile_approx's default accuracy
+                # (10000) had measured 14× the cost of the entire rest of
+                # the profile combined.
                 aggs.append(
                     F.when(
-                        F.count(val) > 0,
+                        F.count(F.when(~F.isnan(val), val)) > 0,
                         F.kll_sketch_get_quantile_double(
                             F.kll_sketch_agg_double(val), F.lit(0.5)
                         ),

@@ -140,7 +140,12 @@ def lsh_candidate_pairs(
         # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         if stats is not None:
-            sizes = sizes.persist()  # tiny (one row per bucket); see _dropped_counts
+            # localCheckpoint (NOT persist): materializes the tiny bucket-size
+            # table once so the stats collect and the cap-filter join share
+            # it, and — unlike a CacheManager entry — the storage is
+            # reclaimed by the ContextCleaner when the caller drops the
+            # DataFrame (no per-call cache leak in long-lived sessions)
+            sizes = sizes.localCheckpoint(eager=True)
             stats.update(_dropped_counts(sizes, max_bucket_size))
         banded = (
             banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
@@ -166,11 +171,12 @@ def _dropped_counts(sizes: DataFrame, max_bucket_size: int) -> dict[str, int]:
     """(n_buckets_dropped, n_rows_dropped) from a (band, bucket, __bsz)
     frame — one single-row aggregate over the tiny bucket-size table.
 
-    The caller persists ``sizes`` FIRST: the stats collect then
+    The caller localCheckpoints ``sizes`` FIRST: the stats collect then
     materializes the bucket-size table once, and the downstream cap-filter
-    join reads the persisted copy instead of re-running the banding scan —
-    so the accounting costs one tiny aggregate, not a second full pass
-    over the corpus."""
+    join reads the checkpointed copy instead of re-running the banding
+    scan — so the accounting costs one tiny aggregate, not a second full
+    pass over the corpus, and the storage is GC-reclaimed with the result
+    (no CacheManager residency)."""
     row = (
         sizes.filter(F.col("__bsz") > max_bucket_size)
         .agg(
@@ -242,7 +248,7 @@ def lsh_pairs_against(
         def _cap(side: DataFrame, side_name: str) -> DataFrame:
             sizes = side.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
             if stats is not None:
-                sizes = sizes.persist()
+                sizes = sizes.localCheckpoint(eager=True)  # GC-reclaimed, not cached
                 stats[side_name] = _dropped_counts(sizes, max_bucket_size)
             return side.join(
                 sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]

@@ -51,10 +51,11 @@ def _quantile_agg(v, probs, approx: bool, accuracy: int, sketch: str):
     """ONE aggregate expression returning array<double> of the requested
     quantiles.  KLL (default approx sketch): the identical
     ``kll_sketch_agg_double`` child is deduplicated by Spark across the
-    per-prob extractors, so the sketch builds once per column; the
-    ``count>0`` guard returns NULL for all-NULL columns (an empty KLL
-    buffer raises).  ``accuracy`` maps to KLL's ``k`` (clamped to its
-    [8, 65535] domain)."""
+    per-prob extractors, so the sketch builds once per column; the guard
+    counts NON-NaN values — the KLL sketch silently ignores NaN updates,
+    so an all-NaN column/group (not just all-NULL) leaves an empty buffer
+    and ``get_quantile`` raises KLL_INVALID_INPUT_SKETCH_BUFFER.
+    ``accuracy`` maps to KLL's ``k`` (clamped to its [8, 65535] domain)."""
     prob_arr = F.array(*[F.lit(float(p)) for p in probs])
     if not approx:
         return F.percentile(v, prob_arr)
@@ -65,7 +66,7 @@ def _quantile_agg(v, probs, approx: bool, accuracy: int, sketch: str):
     k = max(8, min(int(accuracy), 65535))
     sk = F.kll_sketch_agg_double(v, F.lit(k))
     arr = F.array(*[F.kll_sketch_get_quantile_double(sk, F.lit(float(p))) for p in probs])
-    return F.when(F.count(v) > 0, arr)
+    return F.when(F.count(F.when(~F.isnan(v), v)) > 0, arr)
 
 
 def column_quantiles(

@@ -251,7 +251,9 @@ def embedding_near_dup_pairs(
     if max_bucket_size is not None:
         sizes = codes.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         if stats is not None:
-            sizes = sizes.persist()  # tiny; makes the stats collect reusable by the cap join
+            # localCheckpoint, not persist: shared by stats + cap join, and
+            # GC-reclaimed when the caller drops the result (no cache leak)
+            sizes = sizes.localCheckpoint(eager=True)
             stats.update(_dropped_counts(sizes, max_bucket_size))
         codes = codes.join(
             sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]

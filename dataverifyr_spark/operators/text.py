@@ -217,7 +217,10 @@ def bpe_token_count(
     if spark is None:
         raise ValueError("bpe_token_count's UDF arm needs an active SparkSession")
     bc = spark.sparkContext.broadcast([(a, b) for a, b in merges])
-    ws = _re.compile(r"\s+")
+    # ASCII flag: the Catalyst arm splits with JAVA \s+ (ASCII whitespace
+    # only) — Python's default Unicode \s would additionally split on
+    # U+00A0/U+2000-200A and break path equality on scraped-HTML corpora
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     cache: dict[str, int] = {}  # per-worker: survives across Arrow batches
 

@@ -195,9 +195,17 @@ def validate_stream_windowed_to_sink(
             if prev_max is not None:
                 wm = float(prev_max) - delay_s
         except AnalysisException as exc:
-            # path-not-found ⇒ first batch; any other analysis error is real
+            # first-batch states: the dir doesn't exist yet (PATH_NOT_FOUND)
+            # OR it exists but holds no committed parquet — e.g. only a
+            # _temporary dir left by a crash mid-first-write
+            # (UNABLE_TO_INFER_SCHEMA, since _-prefixed paths are excluded
+            # from listing).  Any other analysis error is real: silently
+            # resetting wm would count late rows as on-time.
             msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            if not any(
+                tok in msg
+                for tok in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
+            ):
                 raise
             wm = None
 

@@ -27,31 +27,12 @@ MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 
 def build_skewed_docs(spark, sf_dir: str, mult: int):
-    from bench import _scale_up
+    """The EXACT corpus the bench entry times — single-sourced from
+    bench.build_skewed_docs so the two can never diverge."""
+    from bench import _scale_up, build_skewed_docs as _build
 
     docs = _scale_up(spark.read.parquet(f"{sf_dir}/documents.parquet"), mult, 64)
-    return (
-        docs.withColumn("doc_id", F.monotonically_increasing_id())
-        .withColumn("__r", F.abs(F.xxhash64("doc_id", F.lit(1))) % 100)
-        .withColumn(
-            "text",
-            F.when(
-                F.col("__r") < 5,
-                F.lit("mega boilerplate cluster identical text repeated across the entire corpus forever"),
-            )
-            .when(
-                F.col("__r") < 90,
-                F.concat(
-                    F.lit("subscribe to newsletter boilerplate variant number "),
-                    (F.abs(F.xxhash64("doc_id", F.lit(2))) % 240).cast("string"),
-                    F.lit(" terms and conditions apply to everyone today"),
-                ),
-            )
-            .otherwise(F.col("text")),
-        )
-        .drop("__r")
-        .cache()
-    )
+    return _build(docs).cache()
 
 
 def main() -> None:
@@ -73,9 +54,14 @@ def main() -> None:
     docs_skew = build_skewed_docs(spark, SF_DIR, MULT)
     n_docs = docs_skew.count()
 
-    # mark the probe section so setup stages are excluded from the report
-    tracker = spark.sparkContext.statusTracker
-    first_stage = max([0] + list(spark.sparkContext.statusTracker().getActiveStageIds() or [0]))
+    # snapshot completed stages BEFORE the pipeline so setup work
+    # (parquet read, cache build, count) is EXCLUDED from the skew report
+    def _completed_stage_ids() -> set:
+        url0 = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url0) as r0:
+            return {st["stageId"] for st in json.load(r0)}
+
+    baseline_ids = _completed_stage_ids()
 
     stats: dict = {}
     pairs = lsh_candidate_pairs(
@@ -97,12 +83,19 @@ def main() -> None:
     rows = []
     worst = 0.0
     for st in stages:
+        if st["stageId"] in baseline_ids:  # setup: cache build / count
+            continue
         q = (st.get("taskMetricsDistributions") or {}).get("executorRunTime")
         n_tasks = st.get("numCompleteTasks", 0)
-        if not q or n_tasks < 8:  # skip trivial/setup stages
+        if not q or n_tasks < 8:  # skip trivial stages
             continue
         # quantiles [0, .25, .5, .75, 1.0]
         med, mx = q[2], q[4]
+        if med < 20.0:
+            # micro-stages (ms-scale medians) produce meaningless ratios —
+            # scheduler jitter alone is several ms; a straggler claim only
+            # makes sense where tasks do real work
+            continue
         ratio = (mx / med) if med > 0 else float("inf")
         worst = max(worst, ratio if med > 0 else 0.0)
         rows.append(

@@ -1161,6 +1161,24 @@ class TestBpe:
         assert cat == udf
         assert cat[99] is None  # NULL text stays NULL on both arms
 
+    def test_udf_arm_unicode_whitespace_parity(self, spark):
+        """Java \\s is ASCII-only; the UDF arm must match (re.ASCII), so a
+        non-breaking space (common in scraped HTML) stays INSIDE a word on
+        both arms instead of splitting it on the Python side only."""
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.operators.text import bpe_token_count
+
+        df = spark.createDataFrame(
+            [(0, "foo bar baz"), (1, "a b")], "doc_id int, text string"
+        )
+        merges = [("f", "o"), ("b", "a")]
+        cat = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", bpe_token_count(F.col("text"), merges).alias("n")).collect()}
+        udf = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", bpe_token_count(F.col("text"), merges, max_catalyst_merges=0).alias("n")).collect()}
+        assert cat == udf, (cat, udf)
+
     def test_udf_arm_plan_is_single_arrow_node(self, spark):
         """The large-merge arm must plan as ONE ArrowEvalPython (broadcast
         merge table, no per-merge plan nodes)."""
