@@ -134,6 +134,39 @@ def validate_stream_to_ledger(
     )
 
 
+def _read_watermark_state(spark, sink_path: str, batch_id: int, delay_s: float) -> float | None:
+    """Global watermark entering ``batch_id``: max event ts over ALL prior
+    batches' state rows minus the delay, or None for a first batch.
+
+    Only genuinely-first-batch conditions may reset the watermark — the
+    state dir not existing yet (PATH_NOT_FOUND) or existing with no
+    committed parquet, e.g. only a ``_temporary`` dir left by a crash
+    mid-first-write (UNABLE_TO_INFER_SCHEMA, since ``_``-prefixed paths are
+    excluded from listing).  Any other read failure RAISES: silently
+    resetting wm would count late rows as on-time with no signal, the exact
+    divergence this accounting exists to prevent (r5 ADVICE + r6 review)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        prev = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{sink_path}/_watermark")
+            .filter(F.col("batch") < F.lit(batch_id))
+        )
+        prev_max = prev.agg(F.max("max_ts")).collect()[0][0]
+        if prev_max is None:
+            return None
+        return float(prev_max) - delay_s
+    except AnalysisException as exc:
+        msg = str(exc)
+        if not any(
+            tok in msg
+            for tok in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            raise
+        return None
+
+
 def validate_stream_windowed_to_sink(
     sdf: DataFrame,
     rules: Ruleset | Rule,
@@ -177,37 +210,7 @@ def validate_stream_windowed_to_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        wm: float | None = None
-        # Only a genuinely-missing state dir may reset the watermark (first
-        # batch).  A transient read failure in a later batch must NOT be
-        # swallowed — silently resetting wm=None would count late rows as
-        # on-time with no signal, which is the exact divergence this
-        # accounting exists to prevent.
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = (
-                spark.read.option("recursiveFileLookup", "true")
-                .parquet(f"{sink_path}/_watermark")
-                .filter(F.col("batch") < F.lit(batch_id))
-            )
-            prev_max = prev.agg(F.max("max_ts")).collect()[0][0]
-            if prev_max is not None:
-                wm = float(prev_max) - delay_s
-        except AnalysisException as exc:
-            # first-batch states: the dir doesn't exist yet (PATH_NOT_FOUND)
-            # OR it exists but holds no committed parquet — e.g. only a
-            # _temporary dir left by a crash mid-first-write
-            # (UNABLE_TO_INFER_SCHEMA, since _-prefixed paths are excluded
-            # from listing).  Any other analysis error is real: silently
-            # resetting wm would count late rows as on-time.
-            msg = str(exc)
-            if not any(
-                tok in msg
-                for tok in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
-            ):
-                raise
-            wm = None
+        wm = _read_watermark_state(spark, sink_path, batch_id, delay_s)
 
         tagged = batch_df.withColumn("__w", F.window(F.col(time_col), window))
         late_pred = (

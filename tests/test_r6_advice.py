@@ -151,3 +151,41 @@ class TestKllNanGuards:
         grows = column_quantiles_by(df, by="g", cols=["x"], probs=(0.5,)).collect()
         gvals = {r["g"]: r["value"] for r in grows}
         assert gvals["b"] is None and gvals["a"] is not None
+
+
+class TestWatermarkStateRecovery:
+    """r6 review finding: the narrowed watermark-state except must treat
+    an existing-but-empty state dir (crash mid-first-write) as first batch,
+    while genuine read failures still raise."""
+
+    def test_missing_dir_is_first_batch(self, spark, tmp_path):
+        from dataverifyr_spark.streaming.validate import _read_watermark_state
+
+        assert _read_watermark_state(spark, str(tmp_path / "nope"), 1, 60.0) is None
+
+    def test_empty_temporary_only_dir_is_first_batch(self, spark, tmp_path):
+        from dataverifyr_spark.streaming.validate import _read_watermark_state
+
+        (tmp_path / "sink" / "_watermark" / "b0" / "_temporary").mkdir(parents=True)
+        assert _read_watermark_state(spark, str(tmp_path / "sink"), 1, 60.0) is None
+
+    def test_committed_state_is_read(self, spark, tmp_path):
+        from dataverifyr_spark.streaming.validate import _read_watermark_state
+
+        wm_dir = str(tmp_path / "sink" / "_watermark" / "b0")
+        spark.createDataFrame([(0, 1000.0)], "batch int, max_ts double").write.parquet(wm_dir)
+        wm = _read_watermark_state(spark, str(tmp_path / "sink"), 1, 60.0)
+        assert wm == 940.0
+        # rows of batch >= current are excluded (global watermark = PRIOR batches)
+        assert _read_watermark_state(spark, str(tmp_path / "sink"), 0, 60.0) is None
+
+    def test_corrupt_state_raises(self, spark, tmp_path):
+        from pyspark.errors import AnalysisException
+
+        from dataverifyr_spark.streaming.validate import _read_watermark_state
+
+        wm_dir = tmp_path / "sink" / "_watermark" / "b0"
+        wm_dir.mkdir(parents=True)
+        (wm_dir / "part-00000.parquet").write_bytes(b"this is not parquet at all")
+        with pytest.raises(Exception):  # schema-inference failure must surface
+            _read_watermark_state(spark, str(tmp_path / "sink"), 1, 60.0)
