@@ -235,7 +235,12 @@ def bench_queries(
     # input_hint audio table — decode + SNR-vs-regenerated-waveform +
     # transcript equality + consistency rules, single Arrow decode pass
     # fused with the column rules
-    clips = clips_table(spark, N_CLIPS, num_partitions=parts).cache()
+    # media tables: ONE task per core (not cores*2) — per-row Arrow decode
+    # is uniform work, so bigger batches amortize IPC/task overhead and
+    # stragglers don't exist; measured 9,794 vs 8,856 clips/s (r6,
+    # interleaved best-of-3 at 64 vs 32 partitions on 20k clips)
+    media_parts = cores
+    clips = clips_table(spark, N_CLIPS, num_partitions=media_parts).cache()
     clips.count()
     run(
         "audio_validate_clips",
@@ -246,7 +251,7 @@ def bench_queries(
     # same fused rule machinery (round 3)
     from dataverifyr_spark.operators.image import video_probe, videos_table
 
-    vids = videos_table(spark, N_VIDEOS, num_partitions=parts).cache()
+    vids = videos_table(spark, N_VIDEOS, num_partitions=media_parts).cache()
     vids.count()
     video_rules = dv.ruleset(
         dv.rule("vid_valid", name="decodes"),
@@ -262,7 +267,7 @@ def bench_queries(
     # cost per clip is O(NAL count), independent of payload bytes
     from dataverifyr_spark.operators.h264 import h264_videos_table
 
-    h264 = h264_videos_table(spark, N_VIDEOS, num_partitions=parts).cache()
+    h264 = h264_videos_table(spark, N_VIDEOS, num_partitions=media_parts).cache()
     h264.count()
     h264_rules = dv.ruleset(
         dv.rule("vid_valid", name="decodes"),
@@ -280,7 +285,7 @@ def bench_queries(
     # expensive arm of the video family
     from dataverifyr_spark.operators.mjpeg import mjpeg_videos_table
 
-    mjp = mjpeg_videos_table(spark, N_MJPEG, num_partitions=parts).cache()
+    mjp = mjpeg_videos_table(spark, N_MJPEG, num_partitions=media_parts).cache()
     mjp.count()
     mjpeg_rules = dv.ruleset(
         dv.rule("vid_valid", name="decodes"),
@@ -303,7 +308,7 @@ def bench_queries(
     # one Arrow decode pass, rms + rfft per window, fused 3-rule check
     from dataverifyr_spark.audio.segments import audio_segments, long_clips_table
 
-    longs = long_clips_table(spark, N_LONG_CLIPS, num_partitions=parts).cache()
+    longs = long_clips_table(spark, N_LONG_CLIPS, num_partitions=media_parts).cache()
     longs.count()
     # actual validated segment-row count (corrupt clips emit ONE row, not
     # ~4) so the reported segments/s is rows-validated, not an estimate
@@ -381,7 +386,7 @@ def _measure_level(cores: int, n_clips: int, mult: int) -> tuple[float, float]:
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     parts = cores * 2
-    clips = clips_table(spark, n_clips, num_partitions=parts).cache()
+    clips = clips_table(spark, n_clips, num_partitions=cores).cache()  # 1 task/core (see bench_queries)
     clips.count()
     li = _scale_up(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"), mult, parts)
     n_rows = li.count()
