@@ -698,6 +698,28 @@ def q_audio_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(with_audio_features(clips), audio_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_audio_mixed_codec_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_validate_clips strengthened to the full codec family (r6): the
+    corpus cycles through every supported WAVE coding — linear PCM 16/8-bit,
+    IEEE float32, ITU-T G.711 μ-law/A-law (audio/wav.py, pure-numpy decode
+    tables) — and adds the header-vs-metadata rule ``audio_codec == codec``.
+    Every codec must really decode (the SNR rule needs ≥30 dB against the
+    regenerated waveform, so a wrong G.711 expansion table fails the gate),
+    and the codec column's every-29th lie must be caught.  Violation cadences
+    are unchanged from the base fixture, so the oracle stays pure index
+    arithmetic."""
+    from dataverifyr_spark.audio import (
+        audio_ruleset,
+        mixed_codec_clips_table,
+        with_audio_features,
+    )
+
+    clips = mixed_codec_clips_table(spark, 2000)
+    return dv.check_data(
+        with_audio_features(clips), audio_ruleset(codec_consistent=True)
+    ).select(*_SUMMARY_COLS)
+
+
 def q_audio_spectral_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral audio invariants (round 4): ``audio_dom_freq`` /
     ``audio_spec_centroid`` run one rfft inside the SAME shared single-decode
@@ -1474,6 +1496,7 @@ RETIRED_GATES: dict[str, str] = {
     "event_gaps": "freshness family covered by events_freshness; gap op tested in tests/test_operators.py",
     "quantiles_lineitem": "global GK-sketch path; quantiles_by_returnflag covers sketch + keyed variant",
     "audio_validate_by_codec": "grouped audio check = check_data_by (check_by_returnflag) x decode probe (audio_validate_clips)",
+    "audio_validate_clips": "subset of audio_mixed_codec_validate (same 6 rules + cadences, single-codec corpus); stays the bench headline + tests/test_audio.py",
 }
 
 
@@ -1489,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk_embeddings": q_ivf_pq_topk_embeddings,
         "stream_late_events": q_stream_late_events,
         "chunk_incremental_dedup_documents": q_chunk_incremental_dedup_documents,
+        "audio_mixed_codec_validate": q_audio_mixed_codec_validate,
         # -- outside the r5 window (last driver-verified in r4) --
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
@@ -1522,7 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
-        "audio_validate_clips": q_audio_validate_clips,
         "audio_violations": q_audio_violations,
         "audio_validate_vs_reference": q_audio_validate_vs_reference,
         "image_formats_validate": q_image_formats_validate,
@@ -2265,6 +2288,43 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    # mixed-codec corpus: same cadences + the every-29th codec-column lie
+    # (the codec CYCLE changes which bytes each row carries, but not which
+    # rows violate which rule — all five codecs decode above the 30 dB SNR
+    # floor, so only corrupt rows fail decode/SNR, and codec_consistent
+    # fails exactly on corrupt ∪ liar rows)
+    audio_mixed = (
+        audio_flags.replace(
+            "(i > 0 AND i % 37 = 0) AS null_t",
+            "(i > 0 AND i % 37 = 0) AS null_t,\n"
+            "             (i > 0 AND i % 29 = 0) AS bad_codec",
+        )
+        + " UNION ALL ".join(
+            [
+                audio_rule_row("decodes", "audio_valid", "NOT corrupt"),
+                audio_rule_row(
+                    "sr_consistent", "audio_sr == sr_hz", "NOT corrupt AND NOT bad_sr"
+                ),
+                audio_rule_row(
+                    "dur_consistent", "abs(audio_dur_ms - dur_ms) <= 2",
+                    "NOT corrupt AND NOT bad_dur",
+                ),
+                audio_rule_row("pcm_allclose_snr", "audio_snr_db >= 30.0", "NOT corrupt"),
+                audio_rule_row(
+                    "transcript_equal", "audio_transcript_ok", "NOT empty_t AND NOT null_t"
+                ),
+                audio_rule_row(
+                    "transcript_nonempty", "nchar(trimws(transcript)) > 0",
+                    "NOT empty_t AND NOT null_t",
+                ),
+                audio_rule_row(
+                    "codec_consistent", "audio_codec == codec",
+                    "NOT corrupt AND NOT bad_codec",
+                ),
+            ]
+        )
+    )
+
     # row-LEVEL audio violations: the cadence determines exactly WHICH
     # clip_ids violate each rule (corrupt rows also fail sr-consistency —
     # NULL decoded sr never equals the column)
@@ -2492,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_documents": near_dup_groups,
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
+        "audio_mixed_codec_validate": audio_mixed,
         "audio_spectral_validate": """
     WITH flags AS (
       SELECT i, (i > 0 AND i % 41 = 0) AS corrupt

@@ -1,9 +1,12 @@
-"""Audio payload support: WAV/PCM16 codec (pure numpy), deterministic clip
-fixtures, and Arrow-batched pandas-UDF rules over binary audio columns."""
+"""Audio payload support: WAV codec family (linear PCM 8/16-bit, IEEE
+float32, ITU-T G.711 A-law/μ-law — pure numpy), deterministic clip fixtures,
+and Arrow-batched pandas-UDF rules over binary audio columns."""
 
 from .fixtures import (
+    MIXED_CODECS,
     allowed_codecs,
     clips_table,
+    mixed_codec_clips_table,
     expected_pcm,
     expected_table,
     expected_transcript,
@@ -14,11 +17,16 @@ from .rules import (
     with_audio_features,
     with_audio_features_vs,
 )
-from .wav import decode_wav, encode_wav_pcm16, snr_db
+from .wav import WAV_CODECS, decode_wav, decode_wav_info, encode_wav, encode_wav_pcm16, snr_db
 
 __all__ = [
     "encode_wav_pcm16",
+    "encode_wav",
     "decode_wav",
+    "decode_wav_info",
+    "WAV_CODECS",
+    "MIXED_CODECS",
+    "mixed_codec_clips_table",
     "snr_db",
     "clips_table",
     "expected_table",

@@ -17,10 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..operators.similarity import hash_u64
-from .wav import encode_wav_pcm16
+from .wav import encode_wav, encode_wav_pcm16
 
 __all__ = [
     "clips_table",
+    "mixed_codec_clips_table",
+    "MIXED_CODECS",
     "expected_table",
     "expected_pcm",
     "expected_transcript",
@@ -122,6 +124,60 @@ def clips_table(
     scales from the 200-row pytest fixture to a multi-million-row bench input."""
     num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_row)
+    return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
+# codec cycle for the mixed-codec corpus: every supported WAVE coding
+# (linear PCM 16/8-bit, IEEE float32, ITU-T G.711 μ-law/A-law) — all decode
+# to linear int16, and all keep the fixture waveform's round-trip SNR well
+# above the 30 dB invariant (worst: μ-law ≈37 dB; measured, see
+# tests/test_audio_codecs.py)
+MIXED_CODECS = ("pcm_s16le", "ulaw", "alaw", "pcm_u8", "pcm_f32le")
+
+
+def _make_mixed_row(i: int) -> tuple:
+    """Row i of the mixed-codec corpus: same waveform, transcript and
+    violation cadences as :func:`_make_row`, but the encoding cycles through
+    ``MIXED_CODECS`` and the ``codec`` column records the TRUE coding (except
+    the every-29th liar row, unchanged from the base fixture) — so a
+    ``audio_codec(bytes) == codec`` header-consistency rule has a
+    deterministic, index-computable verdict for every row."""
+    sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+    true_dur_ms = 200 + int(_rng(i, 5) * 800)
+    n_samples = int(round(sr * true_dur_ms / 1000.0))
+    pcm = expected_pcm(i, sr, n_samples)
+    true_codec = MIXED_CODECS[i % len(MIXED_CODECS)]
+    blob = encode_wav(pcm, sr, true_codec)
+
+    sr_col = sr
+    dur_col = true_dur_ms
+    codec = true_codec
+    transcript: str | None = expected_transcript(i)
+
+    if i > 0 and i % BAD_SR_EVERY == 0:
+        sr_col = 12345
+    if i > 0 and i % BAD_DUR_EVERY == 0:
+        dur_col = true_dur_ms + 1500
+    if i > 0 and i % BAD_CODEC_EVERY == 0:
+        codec = "mp3_unknown"
+    if i > 0 and i % EMPTY_TRANSCRIPT_EVERY == 0:
+        transcript = ""
+    if i > 0 and i % NULL_TRANSCRIPT_EVERY == 0:
+        transcript = None
+    if i > 0 and i % CORRUPT_BYTES_EVERY == 0:
+        blob = blob[: len(blob) // 3]
+
+    return (f"clip-{i:012d}", bytearray(blob), sr_col, dur_col, codec, transcript)
+
+
+def mixed_codec_clips_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """:func:`clips_table` with the encoding cycling through every supported
+    codec (``MIXED_CODECS``) and an honest-except-every-29th ``codec``
+    column — the corpus for codec-consistency validation."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_mixed_row)
     return spark.createDataFrame(rdd, CLIP_SCHEMA)
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..expr import register_function
-from .wav import WavError, decode_wav, snr_db
+from .wav import WavError, decode_wav, decode_wav_info, snr_db
 
 __all__ = ["register_audio_functions"]
 
@@ -46,6 +46,15 @@ def _decode(blob) -> tuple[np.ndarray, int] | None:
         return None
     try:
         return decode_wav(bytes(blob))
+    except WavError:
+        return None
+
+
+def _decode_info(blob) -> tuple[np.ndarray, int, str] | None:
+    if blob is None:
+        return None
+    try:
+        return decode_wav_info(bytes(blob))
     except WavError:
         return None
 
@@ -104,19 +113,20 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     probe every bytes-family dialect function compiles onto).  Spectral
     features live in their own probe (below) so rulesets that never mention
     them never pay the per-clip rfft."""
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms")}
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "codec")}
     for b in blobs:
-        d = _decode(b)
+        d = _decode_info(b)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms"):
+            for k in ("n_samples", "sr", "dur_ms", "rms", "codec"):
                 out[k].append(None)
             continue
-        samples, sr = d
+        samples, sr, codec = d
         out["valid"].append(True)
         out["n_samples"].append(len(samples))
         out["sr"].append(sr)
         out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
+        out["codec"].append(codec)
         if len(samples):
             x = samples.astype(np.float64) / 32768.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))))
@@ -125,7 +135,9 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-_BYTES_PROBE_TYPE = "valid boolean, n_samples bigint, sr int, dur_ms double, rms double"
+_BYTES_PROBE_TYPE = (
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, codec string"
+)
 
 
 def _audio_spectral_probe_impl(blobs: pd.Series) -> pd.DataFrame:
@@ -161,6 +173,7 @@ _PROBE_FIELDS = {
     "audio_sr": "sr",
     "audio_dur_ms": "dur_ms",
     "audio_rms": "rms",
+    "audio_codec": "codec",  # header coding name (wav.WAV_CODECS), NULL if invalid
 }
 
 # spectral family: same field-of-shared-probe compilation, separate probe UDF
@@ -264,7 +277,7 @@ register_audio_functions()
 
 _PROBE_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "snr_db double, transcript_ok boolean"
+    "snr_db double, transcript_ok boolean, codec string"
 )
 
 
@@ -273,16 +286,22 @@ def _audio_probe_impl(
 ) -> pd.DataFrame:
     from .fixtures import clip_index, expected_pcm, expected_transcript
 
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok")}
+    out = {
+        k: []
+        for k in (
+            "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok", "codec"
+        )
+    }
     for cid, blob, tr in zip(clip_ids, blobs, transcripts):
-        d = _decode(blob)
+        d = _decode_info(blob)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db"):
+            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
                 out[k].append(None)
         else:
-            samples, sr = d
+            samples, sr, codec = d
             out["valid"].append(True)
+            out["codec"].append(codec)
             out["n_samples"].append(len(samples))
             out["sr"].append(sr)
             out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
@@ -315,14 +334,17 @@ def with_audio_features(
 ):
     """df + decoded audio feature columns (one decode per clip, one Arrow
     batch round-trip).  Adds: {prefix}valid, {prefix}n_samples, {prefix}sr,
-    {prefix}dur_ms, {prefix}rms, {prefix}snr_db, {prefix}transcript_ok."""
+    {prefix}dur_ms, {prefix}rms, {prefix}snr_db, {prefix}transcript_ok,
+    {prefix}codec (header coding name, NULL on invalid container)."""
     cache = _ctx_cache()
     if "audio_probe" not in cache:
         cache["audio_probe"] = pandas_udf(_audio_probe_impl, _PROBE_TYPE)
     probe = cache["audio_probe"]
     struct = probe(F.col(clip_id_col), F.col(bytes_col), F.col(transcript_col))
     out = df.withColumn("__audio_probe", struct)
-    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok"):
+    for field in (
+        "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok", "codec"
+    ):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     return out.drop("__audio_probe")
 
@@ -332,21 +354,23 @@ def with_audio_features(
 # columns of a reference table (no generator), e.g. validating a transcoded
 # corpus against the originals
 _PROBE_VS_TYPE = (
-    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, snr_db double"
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
+    "snr_db double, codec string"
 )
 
 
 def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame:
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db")}
+    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec")}
     for blob, ref_blob in zip(blobs, ref_blobs):
-        d = _decode(blob)
+        d = _decode_info(blob)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db"):
+            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
                 out[k].append(None)
             continue
-        samples, sr = d
+        samples, sr, codec = d
         out["valid"].append(True)
+        out["codec"].append(codec)
         out["n_samples"].append(len(samples))
         out["sr"].append(sr)
         out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
@@ -401,7 +425,7 @@ def with_audio_features_vs(
     probe = cache["audio_probe_vs"]
     struct = probe(F.col(bytes_col), F.col(expected_bytes_col))
     out = joined.withColumn("__audio_probe", struct)
-    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db"):
+    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     t, e = F.col(transcript_col), F.col(expected_transcript_col)
     out = out.withColumn(
@@ -411,19 +435,25 @@ def with_audio_features_vs(
     return out.drop("__audio_probe", expected_bytes_col, expected_transcript_col)
 
 
-def audio_ruleset(require_snr_db: float = 30.0):
+def audio_ruleset(require_snr_db: float = 30.0, codec_consistent: bool = False):
     """The input_hint invariant ruleset over with_audio_features() columns —
-    plain column predicates, fully fusable."""
+    plain column predicates, fully fusable.  ``codec_consistent`` adds the
+    header-vs-metadata codec rule (``audio_codec == codec``): fails when the
+    codec column lies about the actual coding, and on undecodable rows
+    (NULL header codec never equals the claim)."""
     from ..rules import rule, ruleset
 
-    return ruleset(
+    rules = [
         rule("audio_valid", name="decodes"),
         rule("audio_sr == sr_hz", name="sr_consistent"),
         rule("abs(audio_dur_ms - dur_ms) <= 2", name="dur_consistent"),
         rule(f"audio_snr_db >= {require_snr_db}", name="pcm_allclose_snr"),
         rule("audio_transcript_ok", name="transcript_equal"),
         rule("nchar(trimws(transcript)) > 0", name="transcript_nonempty"),
-    )
+    ]
+    if codec_consistent:
+        rules.append(rule("audio_codec == codec", name="codec_consistent"))
+    return ruleset(*rules)
 
 
 def _audio_silence_ratio_impl(blobs: pd.Series) -> pd.Series:

@@ -1,0 +1,185 @@
+"""Multi-codec WAV family: G.711 table anchors, per-codec round-trip SNR,
+container rejection, and the mixed-codec corpus through the fused ruleset.
+
+The reference has no audio support at all (R/ is tabular-only); this is graft
+surface for the north_rule's (clip_id, bytes, sr_hz, dur_ms, codec,
+transcript) table — the codec column becomes checkable against the actual
+byte coding, not just against an allow-list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import dataverifyr_spark as dv
+from dataverifyr_spark.audio.fixtures import (
+    BAD_CODEC_EVERY,
+    BAD_DUR_EVERY,
+    BAD_SR_EVERY,
+    CORRUPT_BYTES_EVERY,
+    EMPTY_TRANSCRIPT_EVERY,
+    MIXED_CODECS,
+    NULL_TRANSCRIPT_EVERY,
+    expected_pcm,
+    mixed_codec_clips_table,
+)
+from dataverifyr_spark.audio.rules import audio_ruleset, with_audio_features
+from dataverifyr_spark.audio.wav import (
+    _ALAW_DEC,
+    _ULAW_DEC,
+    WAV_CODECS,
+    WavError,
+    decode_wav,
+    decode_wav_info,
+    encode_wav,
+    encode_wav_pcm16,
+    snr_db,
+)
+
+
+def _waveform(n=8000, sr=8000):
+    return expected_pcm(3, sr, n)
+
+
+class TestG711Tables:
+    def test_ulaw_canonical_anchors(self):
+        # anchors from the public g711.c / ITU-T G.711 μ-law decode table
+        assert _ULAW_DEC[0x00] == -32124
+        assert _ULAW_DEC[0x80] == 32124
+        assert _ULAW_DEC[0xFF] == 0
+        assert _ULAW_DEC[0x7F] == 0  # μ-law has a negative zero code
+
+    def test_alaw_canonical_anchors(self):
+        assert _ALAW_DEC[0x55] == -8
+        assert _ALAW_DEC[0xD5] == 8
+        assert int(_ALAW_DEC.max()) == 32256
+        assert int(_ALAW_DEC.min()) == -32256
+
+    def test_tables_are_sign_symmetric(self):
+        # positive codes (sign bit set after inversion conventions) mirror
+        # the negative half exactly
+        assert sorted(-_ULAW_DEC[_ULAW_DEC < 0]) == sorted(_ULAW_DEC[_ULAW_DEC > 0])
+        assert sorted(-_ALAW_DEC[_ALAW_DEC < 0]) == sorted(_ALAW_DEC[_ALAW_DEC > 0])
+
+    def test_encoder_is_nearest_level(self):
+        # every decode level must round-trip to exactly itself
+        for table, codec in ((_ULAW_DEC, "ulaw"), (_ALAW_DEC, "alaw")):
+            blob = encode_wav(table.astype(np.int16), 8000, codec)
+            back, _sr, _c = decode_wav_info(blob)
+            assert np.array_equal(back, table)
+
+
+class TestRoundTrip:
+    # measured round-trip SNR floors for the fixture waveform (worst codec,
+    # μ-law, sits ≈37 dB — comfortably above the 30 dB north-rule invariant)
+    SNR_FLOORS = {
+        "pcm_s16le": 80.0,
+        "pcm_f32le": 80.0,
+        "pcm_u8": 40.0,
+        "alaw": 33.0,
+        "ulaw": 33.0,
+    }
+
+    @pytest.mark.parametrize("codec", sorted(WAV_CODECS))
+    def test_round_trip_snr_and_metadata(self, codec):
+        x = _waveform()
+        blob = encode_wav(x, 8000, codec)
+        samples, sr, got = decode_wav_info(blob)
+        assert (sr, got, len(samples)) == (8000, codec, len(x))
+        s = snr_db(x, samples.astype(np.float64) / 32767.0)
+        assert s >= self.SNR_FLOORS[codec], (codec, s)
+
+    def test_pcm16_alias_unchanged(self):
+        x = _waveform(1000)
+        assert encode_wav_pcm16(x, 16000) == encode_wav(x, 16000, "pcm_s16le")
+
+    def test_decode_wav_two_tuple_contract(self):
+        samples, sr = decode_wav(encode_wav(_waveform(500), 8000, "ulaw"))
+        assert sr == 8000 and samples.dtype == np.int16
+
+    def test_unknown_codec_raises(self):
+        with pytest.raises(WavError, match="unsupported codec"):
+            encode_wav(_waveform(100), 8000, "opus")
+
+
+class TestContainerRejection:
+    def test_stereo_rejected(self):
+        blob = bytearray(encode_wav(_waveform(100), 8000, "pcm_s16le"))
+        blob[22] = 2  # channels field
+        with pytest.raises(WavError, match="mono"):
+            decode_wav_info(bytes(blob))
+
+    def test_unknown_format_code_rejected(self):
+        blob = bytearray(encode_wav(_waveform(100), 8000, "pcm_s16le"))
+        blob[20] = 2  # ADPCM — a real public code we do not implement
+        with pytest.raises(WavError, match="format code 2"):
+            decode_wav_info(bytes(blob))
+
+    def test_wrong_bits_for_code_rejected(self):
+        blob = bytearray(encode_wav(_waveform(100), 8000, "pcm_s16le"))
+        blob[34] = 24  # bits field: PCM24 unsupported
+        with pytest.raises(WavError, match="24 bits"):
+            decode_wav_info(bytes(blob))
+
+    def test_truncated_float32_data(self):
+        blob = encode_wav(_waveform(100), 8000, "pcm_f32le")
+        with pytest.raises(WavError):
+            decode_wav_info(blob[:-2])
+
+
+class TestMixedCodecCorpus:
+    N = 500
+
+    @staticmethod
+    def _expected_counts(n):
+        """Per-rule expected (tests, pass) from the pure index cadences —
+        the same arithmetic the DuckDB oracle for the driver gate uses."""
+        corrupt = {i for i in range(1, n) if i % CORRUPT_BYTES_EVERY == 0}
+        bad_sr = {i for i in range(1, n) if i % BAD_SR_EVERY == 0}
+        bad_dur = {i for i in range(1, n) if i % BAD_DUR_EVERY == 0}
+        bad_codec = {i for i in range(1, n) if i % BAD_CODEC_EVERY == 0}
+        empty_t = {i for i in range(1, n) if i % EMPTY_TRANSCRIPT_EVERY == 0}
+        null_t = {i for i in range(1, n) if i % NULL_TRANSCRIPT_EVERY == 0}
+        bad_t = empty_t | null_t
+        return {
+            "decodes": n - len(corrupt),
+            "sr_consistent": n - len(corrupt | bad_sr),
+            "dur_consistent": n - len(corrupt | bad_dur),
+            "pcm_allclose_snr": n - len(corrupt),
+            "transcript_equal": n - len(bad_t),
+            "transcript_nonempty": n - len(bad_t),
+            "codec_consistent": n - len(corrupt | bad_codec),
+        }
+
+    def test_codec_cycle_and_cadence_counts(self, spark):
+        clips = mixed_codec_clips_table(spark, self.N, num_partitions=8).cache()
+        feats = with_audio_features(clips)
+        res = dv.check_data(feats, audio_ruleset(codec_consistent=True))
+        rows = {r["name"]: r for r in res.collect()}
+        expected = self._expected_counts(self.N)
+        for name, exp_pass in expected.items():
+            assert rows[name]["tests"] == self.N, name
+            assert rows[name]["pass"] == exp_pass, (
+                name, rows[name]["pass"], exp_pass,
+            )
+        # every codec actually appears in the decoded corpus
+        got = {
+            r["audio_codec"]
+            for r in feats.select("audio_codec").distinct().collect()
+        }
+        assert set(MIXED_CODECS) <= got
+        clips.unpersist()
+
+    def test_codec_column_matches_header_except_liars(self, spark):
+        clips = mixed_codec_clips_table(spark, 120, num_partitions=4)
+        feats = with_audio_features(clips).select("clip_id", "codec", "audio_codec")
+        for r in feats.collect():
+            i = int(r["clip_id"].rsplit("-", 1)[-1])
+            if i > 0 and i % CORRUPT_BYTES_EVERY == 0:
+                assert r["audio_codec"] is None
+            elif i > 0 and i % BAD_CODEC_EVERY == 0:
+                assert r["codec"] == "mp3_unknown"
+                assert r["audio_codec"] == MIXED_CODECS[i % len(MIXED_CODECS)]
+            else:
+                assert r["audio_codec"] == r["codec"]
