@@ -183,3 +183,57 @@ class TestMixedCodecCorpus:
                 assert r["audio_codec"] == MIXED_CODECS[i % len(MIXED_CODECS)]
             else:
                 assert r["audio_codec"] == r["codec"]
+
+
+class TestCrossCodecTranscodeValidation:
+    """The with_audio_features_vs use case its docstring advertises —
+    validating a TRANSCODED corpus against the original bytes — now runs
+    with genuinely distinct codings: corpus is G.711 μ-law, reference is
+    the PCM16 original.  SNR must clear the 30 dB invariant for every
+    intact row, and the probe must report the corpus coding (ulaw), not
+    the reference's."""
+
+    def test_ulaw_corpus_vs_pcm16_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.audio.rules import with_audio_features_vs
+
+        n, sr = 40, 8000
+        rows, refs = [], []
+        for i in range(n):
+            pcm = expected_pcm(i, sr, 4000)
+            rows.append(
+                (f"c-{i:04d}", bytearray(encode_wav(pcm, sr, "ulaw")), sr, 500,
+                 "ulaw", f"t {i}")
+            )
+            refs.append(
+                (f"c-{i:04d}", bytearray(encode_wav_pcm16(pcm, sr)), f"t {i}")
+            )
+        clips = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                  "codec string, transcript string",
+        )
+        expected = spark.createDataFrame(
+            refs, "clip_id string, expected_bytes binary, expected_transcript string"
+        )
+        feats = with_audio_features_vs(clips, expected, broadcast_expected=True)
+        got = feats.select("clip_id", "audio_codec", "audio_snr_db",
+                           "audio_transcript_ok").collect()
+        assert len(got) == n
+        for r in got:
+            assert r["audio_codec"] == "ulaw", r
+            assert r["audio_snr_db"] is not None and r["audio_snr_db"] >= 30.0, r
+            assert r["audio_transcript_ok"] is True, r
+
+        # a clip transcoded at the WRONG rate (sr mismatch vs reference)
+        # must fail the SNR rule, not silently compare misaligned samples
+        bad = spark.createDataFrame(
+            [("c-0000", bytearray(encode_wav(expected_pcm(0, 16000, 8000),
+                                             16000, "ulaw")), 16000, 500,
+              "ulaw", "t 0")],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string",
+        )
+        bad_feats = with_audio_features_vs(bad, expected, broadcast_expected=True)
+        row = bad_feats.select("audio_snr_db").collect()[0]
+        assert row["audio_snr_db"] is None or row["audio_snr_db"] < 30.0
