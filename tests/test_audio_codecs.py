@@ -237,3 +237,59 @@ class TestCrossCodecTranscodeValidation:
         bad_feats = with_audio_features_vs(bad, expected, broadcast_expected=True)
         row = bad_feats.select("audio_snr_db").collect()[0]
         assert row["audio_snr_db"] is None or row["audio_snr_db"] < 30.0
+
+
+class TestAudioFeatureDrift:
+    """north_star composition: distribution-drift of DECODED audio features
+    (per-partition histogram + PSI/KS vs a persisted baseline snapshot) —
+    the drift operator over the Arrow decode probe's output, grouped by the
+    codec partition column.  A corpus where only the μ-law clips lost 12 dB
+    of level must flag codec='ulaw' and leave the other codings clean."""
+
+    @staticmethod
+    def _corpus(spark, n, quiet_codec=None):
+        rows = []
+        for i in range(n):
+            sr = 8000
+            codec = MIXED_CODECS[i % len(MIXED_CODECS)]
+            pcm = expected_pcm(i, sr, 2000)
+            if codec == quiet_codec:
+                pcm = pcm * 0.25  # −12 dB level drop: shifts the RMS histogram
+            rows.append(
+                (f"c-{i:05d}", bytearray(encode_wav(pcm, sr, codec)), sr, 250,
+                 codec, f"t {i}")
+            )
+        return spark.createDataFrame(
+            rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                  "codec string, transcript string",
+        )
+
+    def test_rms_drift_flags_only_the_degraded_codec(self, spark, tmp_path):
+        from dataverifyr_spark.operators.drift import drift_check, snapshot_baseline
+
+        n, lo, hi, bins = 400, 0.0, 0.5, 16
+        base = with_audio_features(self._corpus(spark, n))
+        path = str(tmp_path / "rms_baseline")
+        snapshot_baseline(base, "audio_rms", lo, hi, bins, path)
+        baseline = spark.read.parquet(path)
+
+        # same corpus, no perturbation → nothing drifts
+        cur_same = with_audio_features(self._corpus(spark, n))
+        global_clean = drift_check(cur_same, "audio_rms", baseline, lo, hi, bins).collect()[0]
+        assert not global_clean["drifted"], global_clean
+
+        # ulaw clips dropped 12 dB → global PSI rises AND the per-codec view
+        # (baseline recomputed per codec from the same snapshot corpus)
+        from dataverifyr_spark.operators.drift import histogram
+
+        by_base = histogram(base, "audio_rms", lo, hi, bins, by="codec")
+        cur_bad = with_audio_features(self._corpus(spark, n, quiet_codec="ulaw"))
+        rows = {
+            r["codec"]: r
+            for r in drift_check(
+                cur_bad, "audio_rms", by_base, lo, hi, bins, by="codec"
+            ).collect()
+        }
+        assert rows["ulaw"]["drifted"], rows["ulaw"]
+        for codec in ("pcm_s16le", "alaw", "pcm_u8", "pcm_f32le"):
+            assert not rows[codec]["drifted"], (codec, rows[codec])
