@@ -720,6 +720,27 @@ def q_audio_mixed_codec_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*_SUMMARY_COLS)
 
 
+def q_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec audio near-duplicate pairs (r6): every 3rd clip in the
+    corpus is the PREVIOUS clip's waveform re-encoded under a different
+    codec (fixtures.dup_codec_clips_table) — byte-exact/MinHash dedup can
+    never pair them, but the spectral-profile fingerprint
+    (audio.with_audio_band_profile: |rfft| in 512 bins, L2-normalized)
+    through the SAME banded-hyperplane-LSH machinery as text embeddings
+    (similarity.embedding_near_dup_pairs, broadcast-UDF arm at dim=512)
+    must find EXACTLY the injected pairs: tones are 20 Hz apart (10× the
+    clip's 2 Hz FFT resolution), so distinct clips sit at cosine < 0.01
+    while re-encodes sit at ≥ 0.9999 (measured per codec pair in
+    tests/test_audio_codecs.py).  Corrupt containers (every 41st) decode to
+    NULL profiles and drop their pairs — all pure index arithmetic for the
+    oracle.  The reference has no audio or dedup support (R/ is
+    tabular-only); graft extension."""
+    from dataverifyr_spark.audio import audio_near_dup_pairs, dup_codec_clips_table
+
+    clips = dup_codec_clips_table(spark, 300)
+    return audio_near_dup_pairs(clips).select("id_a", "id_b")
+
+
 def q_audio_spectral_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral audio invariants (round 4): ``audio_dom_freq`` /
     ``audio_spec_centroid`` run one rfft inside the SAME shared single-decode
@@ -1497,6 +1518,7 @@ RETIRED_GATES: dict[str, str] = {
     "quantiles_lineitem": "global GK-sketch path; quantiles_by_returnflag covers sketch + keyed variant",
     "audio_validate_by_codec": "grouped audio check = check_data_by (check_by_returnflag) x decode probe (audio_validate_clips)",
     "audio_validate_clips": "subset of audio_mixed_codec_validate (same 6 rules + cadences, single-codec corpus); stays the bench headline + tests/test_audio.py",
+    "embedding_dedup_groups": "composition of near_dup_pairs_embeddings (gate) + connected_components (CC stage gated via near_dup_groups_documents; stress in tests/test_operators.py::TestConnectedComponentsStress); driver-green r04/r05; slot given to audio_dedup_pairs which drives the same embedding_near_dup_pairs operator (broadcast-UDF arm) end-to-end",
 }
 
 
@@ -1513,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_events": q_stream_late_events,
         "chunk_incremental_dedup_documents": q_chunk_incremental_dedup_documents,
         "audio_mixed_codec_validate": q_audio_mixed_codec_validate,
+        "audio_dedup_pairs": q_audio_dedup_pairs,
         # -- outside the r5 window (last driver-verified in r4) --
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
@@ -1543,7 +1566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_freshness": q_events_freshness,
         "most_frequent_customer": q_most_frequent_customer,
         "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
         "audio_violations": q_audio_violations,
@@ -2553,6 +2575,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
         "audio_mixed_codec_validate": audio_mixed,
+        # re-encoded-duplicate corpus: pairs are pure index arithmetic —
+        # every 3rd clip duplicates its predecessor's waveform, every 41st
+        # container is truncated (NULL fingerprint, pairs drop)
+        "audio_dedup_pairs": """
+    SELECT 'clip-' || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS id_a,
+           'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
+    FROM generate_series(1, 299) t(i)
+    WHERE i % 3 = 2 AND i % 41 != 0 AND (i - 1) % 41 != 0
+    """,
         "audio_spectral_validate": """
     WITH flags AS (
       SELECT i, (i > 0 AND i % 41 = 0) AS corrupt

@@ -6,12 +6,15 @@ from .fixtures import (
     MIXED_CODECS,
     allowed_codecs,
     clips_table,
+    dup_codec_clips_table,
     mixed_codec_clips_table,
     expected_pcm,
     expected_table,
     expected_transcript,
 )
 from .rules import (
+    audio_near_dup_pairs,
+    with_audio_band_profile,
     audio_ruleset,
     register_audio_functions,
     with_audio_features,
@@ -27,6 +30,9 @@ __all__ = [
     "WAV_CODECS",
     "MIXED_CODECS",
     "mixed_codec_clips_table",
+    "dup_codec_clips_table",
+    "with_audio_band_profile",
+    "audio_near_dup_pairs",
     "snr_db",
     "clips_table",
     "expected_table",

@@ -181,6 +181,66 @@ def mixed_codec_clips_table(
     return spark.createDataFrame(rdd, CLIP_SCHEMA)
 
 
+# re-encoded-duplicate corpus: fixed geometry so every clip yields the same
+# spectrum length, tones 20 Hz apart so distinct clips are separable at the
+# clip's 2 Hz FFT resolution (0.5 s at 16 kHz) — the spectral fingerprint's
+# documented separability floor.  16 kHz Nyquist bounds the corpus at ~350
+# distinct tones; dup_tone raises past 0.45·sr rather than silently alias
+# (an aliased tone folds onto another clip's frequency and breaks the
+# pair-set determinism the gate oracle depends on)
+DUP_SR = 16000
+DUP_N_SAMPLES = 8000  # 500 ms
+DUP_EVERY = 3  # every 3rd clip re-encodes the PREVIOUS clip's waveform
+DUP_BASE_HZ = 100.0
+DUP_STEP_HZ = 20.0
+
+
+def dup_tone(j: int) -> np.ndarray:
+    """Waveform of source j in the re-encoded-duplicate corpus: a unique
+    tone (100 + 20·j Hz) plus seeded noise 40 dB down — deterministic, so
+    driver/executor/test regenerate it independently."""
+    t = np.arange(DUP_N_SAMPLES, dtype=np.float64) / DUP_SR
+    freq = DUP_BASE_HZ + DUP_STEP_HZ * j
+    if freq >= 0.45 * DUP_SR:
+        raise ValueError(
+            f"dup corpus source {j}: tone {freq} Hz aliases at sr={DUP_SR} "
+            f"(max ~{int((0.45 * DUP_SR - DUP_BASE_HZ) / DUP_STEP_HZ)} sources)"
+        )
+    rng = np.random.default_rng(hash_u64(0xD0B0 + j) & 0x7FFFFFFF)
+    return 0.6 * np.sin(2 * math.pi * freq * t) + 0.006 * rng.standard_normal(
+        DUP_N_SAMPLES
+    )
+
+
+def _make_dup_row(i: int) -> tuple:
+    """Row i of the re-encoded-duplicate corpus: every ``DUP_EVERY``-th clip
+    carries the PREVIOUS clip's waveform re-encoded in a DIFFERENT codec
+    (cycled), so byte-exact dedup cannot pair them but any decode-level
+    fingerprint must.  Every 41st container is truncated (same
+    CORRUPT_BYTES_EVERY cadence as F1), removing its pairs — all of which
+    is pure index arithmetic for the oracle."""
+    src = i - 1 if (i % DUP_EVERY == DUP_EVERY - 1 and i > 0) else i
+    pcm = dup_tone(src)
+    codec = MIXED_CODECS[i % len(MIXED_CODECS)]
+    blob = encode_wav(pcm, DUP_SR, codec)
+    if i > 0 and i % CORRUPT_BYTES_EVERY == 0:
+        blob = blob[: len(blob) // 3]
+    dur_ms = int(round(DUP_N_SAMPLES / DUP_SR * 1000))
+    return (f"clip-{i:012d}", bytearray(blob), DUP_SR, dur_ms, codec, f"tone {src}")
+
+
+def dup_codec_clips_table(
+    spark: SparkSession, n: int = 150, num_partitions: int | None = None
+) -> DataFrame:
+    """Corpus for cross-codec audio near-dup detection: clip i where
+    ``i % 3 == 2`` is a byte-DIFFERENT re-encode of clip i−1's waveform
+    (different codec), everything else is a unique tone.  True duplicate
+    pairs are exactly {(i−1, i) : i%3==2, neither container corrupt}."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_dup_row)
+    return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
 EXPECTED_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType(), False),

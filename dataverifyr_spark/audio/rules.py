@@ -482,3 +482,94 @@ _UDFS["audio_silence_ratio"] = (_audio_silence_ratio_impl, "double", 1)
 
 # re-register: the silence-ratio entry was added after the import-time call
 register_audio_functions()
+
+
+# ---------------------------------------------------------------------------
+# cross-codec audio near-dup: a spectral fingerprint computed once in the
+# decode probe, fed into the SAME banded-hyperplane-LSH machinery as text
+# embeddings (operators/similarity.embedding_near_dup_pairs) — the same
+# recording re-encoded under any supported codec pairs up even though its
+# bytes (and so exact/MinHash dedup keys) are completely different.
+# ---------------------------------------------------------------------------
+
+BAND_PROFILE_BINS = 512
+
+
+def _audio_band_profile_impl(blobs: pd.Series) -> pd.Series:
+    """Per-clip spectral profile: |rfft| magnitude averaged into
+    ``BAND_PROFILE_BINS`` equal-width bins, L2-normalized.  Codec noise is
+    white-ish and ≥37 dB below the signal for every supported coding
+    (tests/test_audio_codecs.py), so the same waveform's profiles have
+    cosine ≥ 0.999 across codecs, while tones ≥ one FFT-resolution step
+    apart land in different bins (cosine far below any dedup threshold).
+    NULL for undecodable or empty clips."""
+
+    def f(b):
+        d = _decode(b)
+        if d is None or not len(d[0]):
+            return None
+        samples, _sr = d
+        mag = np.abs(np.fft.rfft(samples.astype(np.float64) / 32768.0))
+        n = len(mag)
+        if n >= BAND_PROFILE_BINS:
+            cut = (n // BAND_PROFILE_BINS) * BAND_PROFILE_BINS
+            prof = mag[:cut].reshape(BAND_PROFILE_BINS, -1).mean(axis=1)
+        else:  # very short clip: zero-pad the spectrum up to the bin count
+            prof = np.zeros(BAND_PROFILE_BINS)
+            prof[:n] = mag
+        norm = float(np.linalg.norm(prof))
+        if norm == 0.0:
+            return None
+        return [float(v) for v in prof / norm]
+
+    return blobs.map(f)
+
+
+def with_audio_band_profile(
+    df, bytes_col: str = "bytes", out_col: str = "audio_band_profile"
+):
+    """df + ``out_col`` (array<double>, L2-normalized spectral profile; NULL
+    on undecodable clips).  One Arrow-batched decode+rfft per clip — its own
+    probe, paid only by dedup pipelines (rule checks never compute it)."""
+    cache = _ctx_cache()
+    if "audio_band_profile" not in cache:
+        cache["audio_band_profile"] = pandas_udf(
+            _audio_band_profile_impl, "array<double>"
+        )
+    return df.withColumn(out_col, cache["audio_band_profile"](F.col(bytes_col)))
+
+
+def audio_near_dup_pairs(
+    df,
+    threshold: float = 0.98,
+    bits: int = 16,
+    bands: int = 4,
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    max_bucket_size: int | None = 10_000,
+    stats: dict | None = None,
+):
+    """Cross-codec audio near-duplicate pairs (id_a, id_b, cosine_sim):
+    spectral-profile fingerprint → banded hyperplane LSH → within-bucket
+    equi-join → exact cosine verify — the audio composition of
+    :func:`~dataverifyr_spark.operators.similarity.embedding_near_dup_pairs`
+    (hot-bucket cap + drop accounting included).  Undecodable clips have a
+    NULL profile and simply never enter a bucket.  At 100 TB: one decode
+    pass over the corpus, then the same bounded band equi-join as text
+    embedding dedup — no all-pairs stage anywhere."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    feats = with_audio_band_profile(df, bytes_col=bytes_col).filter(
+        F.col("audio_band_profile").isNotNull()
+    )
+    return embedding_near_dup_pairs(
+        feats,
+        dim=BAND_PROFILE_BINS,
+        threshold=threshold,
+        bits=bits,
+        bands=bands,
+        vec_col="audio_band_profile",
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        stats=stats,
+    )

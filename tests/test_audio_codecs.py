@@ -293,3 +293,72 @@ class TestAudioFeatureDrift:
         assert rows["ulaw"]["drifted"], rows["ulaw"]
         for codec in ("pcm_s16le", "alaw", "pcm_u8", "pcm_f32le"):
             assert not rows[codec]["drifted"], (codec, rows[codec])
+
+
+class TestAudioNearDup:
+    """Cross-codec audio near-dup: spectral-profile fingerprint through the
+    banded-LSH embedding machinery.  A re-encode under any supported codec
+    must pair with its original; distinct tones must not."""
+
+    def test_profile_cross_codec_invariance_and_separability(self):
+        import pandas as pd
+
+        from dataverifyr_spark.audio.fixtures import DUP_SR, dup_tone
+        from dataverifyr_spark.audio.rules import _audio_band_profile_impl
+
+        def prof(blob):
+            return np.array(_audio_band_profile_impl(pd.Series([blob])).iloc[0])
+
+        w = dup_tone(7)
+        profs = [prof(encode_wav(w, DUP_SR, c)) for c in WAV_CODECS]
+        for a in profs:
+            for b in profs:
+                assert float(np.dot(a, b)) >= 0.999  # same waveform, any codecs
+        # adjacent tones (20 Hz apart) stay far below any dedup threshold
+        pa = prof(encode_wav(dup_tone(3), DUP_SR, "pcm_s16le"))
+        pb = prof(encode_wav(dup_tone(4), DUP_SR, "ulaw"))
+        assert float(np.dot(pa, pb)) < 0.1
+
+    def test_profile_null_on_undecodable(self):
+        import pandas as pd
+
+        from dataverifyr_spark.audio.rules import _audio_band_profile_impl
+
+        out = _audio_band_profile_impl(pd.Series([b"garbage", None]))
+        assert out.iloc[0] is None and out.iloc[1] is None
+
+    def test_tone_aliasing_guard(self):
+        from dataverifyr_spark.audio.fixtures import dup_tone
+
+        with pytest.raises(ValueError, match="aliases"):
+            dup_tone(100_000)
+
+    def test_pairs_exactly_match_injection_cadence(self, spark):
+        from dataverifyr_spark.audio.fixtures import (
+            CORRUPT_BYTES_EVERY,
+            DUP_EVERY,
+            dup_codec_clips_table,
+        )
+        from dataverifyr_spark.audio.rules import audio_near_dup_pairs
+
+        n = 90
+        clips = dup_codec_clips_table(spark, n, num_partitions=4)
+        stats = {}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in audio_near_dup_pairs(clips, stats=stats).collect()
+        }
+
+        def cid(i):
+            return f"clip-{i:012d}"
+
+        corrupt = {i for i in range(1, n) if i % CORRUPT_BYTES_EVERY == 0}
+        exp = {
+            (cid(i - 1), cid(i))
+            for i in range(1, n)
+            if i % DUP_EVERY == DUP_EVERY - 1
+            and i not in corrupt
+            and (i - 1) not in corrupt
+        }
+        assert got == exp
+        assert stats == {"n_buckets_dropped": 0, "n_rows_dropped": 0}
