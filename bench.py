@@ -247,6 +247,25 @@ def bench_queries(
         lambda: dv.check_data(with_audio_features(clips), audio_ruleset()).collect(),
     )
 
+    # cross-codec audio dedup FINGERPRINT throughput (r6): one Arrow decode
+    # + rfft + 512-bin profile per clip — the dominant per-clip cost of
+    # audio_near_dup_pairs.  The LSH pair join itself is deliberately NOT
+    # benched on this corpus: clips_table waveforms are two tones in a
+    # narrow band, so spectrally they really ARE near-duplicates by the
+    # hundreds of thousands (measured 333k pairs at cosine>=0.98) and the
+    # join cost becomes output-size-bound — pair-set correctness is the
+    # audio_dedup_pairs gate's job, join scalability is the (shared)
+    # near_dup_pairs_embeddings cap-join story.  Consume element 1 of the
+    # profile so the UDF runs but no 512-double array ships to the driver.
+    from dataverifyr_spark.audio import with_audio_band_profile
+
+    run(
+        "audio_dedup_fingerprint",
+        lambda: with_audio_band_profile(clips)
+        .agg(F.sum(F.element_at("audio_band_profile", 1)))
+        .collect(),
+    )
+
     # video payload: Y4M header math + offset-seek frame sampling through the
     # same fused rule machinery (round 3)
     from dataverifyr_spark.operators.image import video_probe, videos_table
