@@ -720,6 +720,24 @@ def q_audio_mixed_codec_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*_SUMMARY_COLS)
 
 
+def q_audio_quality_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-quality audio validation (r6): hard-clipping, DC bias, peak
+    headroom and audibility over ``quality_clips_table`` — gain/bias defects
+    injected at deterministic cadences (clipped %19, +0.25 DC %43, x0.01
+    quiet %47, corrupt container %41).  The quality features (peak,
+    clip_ratio, dc_offset) are fields of the SAME shared single-decode
+    probe as audio_valid/audio_rms, so all five rules cost one
+    ArrowEvalPython pass (plan-asserted in tests/test_audio_quality.py).
+    Defects compose physically — attenuation defeats clipping and DC — and
+    the oracle encodes exactly that with effective flags (clipped AND NOT
+    quiet), still pure index arithmetic.  The reference has no audio
+    support (R/ is tabular-only); graft extension."""
+    from dataverifyr_spark.audio import audio_quality_ruleset, quality_clips_table
+
+    clips = quality_clips_table(spark, 2000)
+    return dv.check_data(clips, audio_quality_ruleset()).select(*_SUMMARY_COLS)
+
+
 def q_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec audio near-duplicate pairs (r6): every 3rd clip in the
     corpus is the PREVIOUS clip's waveform re-encoded under a different
@@ -1519,6 +1537,7 @@ RETIRED_GATES: dict[str, str] = {
     "audio_validate_by_codec": "grouped audio check = check_data_by (check_by_returnflag) x decode probe (audio_validate_clips)",
     "audio_validate_clips": "subset of audio_mixed_codec_validate (same 6 rules + cadences, single-codec corpus); stays the bench headline + tests/test_audio.py",
     "embedding_dedup_groups": "composition of near_dup_pairs_embeddings (gate) + connected_components (CC stage gated via near_dup_groups_documents; stress in tests/test_operators.py::TestConnectedComponentsStress); driver-green r04/r05; slot given to audio_dedup_pairs which drives the same embedding_near_dup_pairs operator (broadcast-UDF arm) end-to-end",
+    "token_stats_documents": "whitespace arm of token_stats; driver-green r04/r05; bpe_token_stats_documents gates the same entrypoint's strictly stronger arm (trained merges + the whitespace pre-split), whitespace path stays green in tests/test_text.py; slot given to audio_quality_validate (clipping/DC/headroom/audibility rules, new probe fields)",
 }
 
 
@@ -1536,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_incremental_dedup_documents": q_chunk_incremental_dedup_documents,
         "audio_mixed_codec_validate": q_audio_mixed_codec_validate,
         "audio_dedup_pairs": q_audio_dedup_pairs,
+        "audio_quality_validate": q_audio_quality_validate,
         # -- outside the r5 window (last driver-verified in r4) --
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
@@ -1553,7 +1573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_customer": q_describe_customer,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "token_stats_documents": q_token_stats_documents,
         "bpe_token_stats_documents": q_bpe_token_stats_documents,
         "unique_rule_lineitem": q_unique_rule_lineitem,
         "check_error_rows_lineitem": q_check_error_rows_lineitem,
@@ -2347,6 +2366,43 @@ def oracle_sql() -> dict[str, str]:
         )
     )
 
+    # signal-quality corpus (quality_clips_table): defect flags COMPOSE —
+    # the x0.01 attenuation physically defeats both clipping and DC bias
+    # (fixtures apply dc, then gain, then attenuation), so the effective
+    # flags are (clipped AND NOT quiet) / (dc AND NOT quiet).  Every rule
+    # threshold sits >3x from both verdict sides over the full index range
+    # (margins pinned in tests/test_audio_quality.py)
+    audio_quality = """
+    WITH flags AS (
+      SELECT i,
+             (i > 0 AND i % 41 = 0) AS corrupt,
+             (i > 0 AND i % 19 = 0 AND NOT i % 47 = 0) AS clipped,
+             (i > 0 AND i % 43 = 0 AND NOT i % 47 = 0) AS dc,
+             (i > 0 AND i % 47 = 0) AS quiet
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            audio_rule_row("decodes", "audio_valid(bytes)", "NOT corrupt"),
+            audio_rule_row(
+                "not_clipped", "audio_clip_ratio(bytes) <= 0.01",
+                "NOT corrupt AND NOT clipped",
+            ),
+            audio_rule_row(
+                "no_dc_offset", "abs(audio_dc_offset(bytes)) <= 0.05",
+                "NOT corrupt AND NOT dc",
+            ),
+            audio_rule_row(
+                "peak_in_range", "audio_peak(bytes) <= 0.999",
+                "NOT corrupt AND NOT clipped",
+            ),
+            audio_rule_row(
+                "rms_audible", "audio_rms(bytes) >= 0.05",
+                "NOT corrupt AND NOT quiet",
+            ),
+        ]
+    )
+
     # row-LEVEL audio violations: the cadence determines exactly WHICH
     # clip_ids violate each rule (corrupt rows also fail sr-consistency —
     # NULL decoded sr never equals the column)
@@ -2575,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": simhash,
         "audio_validate_clips": audio,
         "audio_mixed_codec_validate": audio_mixed,
+        "audio_quality_validate": audio_quality,
         # re-encoded-duplicate corpus: pairs are pure index arithmetic —
         # every 3rd clip duplicates its predecessor's waveform, every 41st
         # container is truncated (NULL fingerprint, pairs drop)
@@ -2733,7 +2790,6 @@ def oracle_sql() -> dict[str, str]:
         "describe_customer": describe,
         "uniqueness_lineitem": uniqueness,
         "dedup_exact_documents": dedup,
-        "token_stats_documents": token_stats,
         "bpe_token_stats_documents": bpe_token_stats_sql,
         "suggest_rules_embeddings": """
     WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings)

@@ -8,6 +8,7 @@ from .fixtures import (
     clips_table,
     dup_codec_clips_table,
     mixed_codec_clips_table,
+    quality_clips_table,
     expected_pcm,
     expected_table,
     expected_transcript,
@@ -16,6 +17,7 @@ from .rules import (
     audio_near_dup_pairs,
     with_audio_band_profile,
     audio_ruleset,
+    audio_quality_ruleset,
     register_audio_functions,
     with_audio_features,
     with_audio_features_vs,
@@ -43,4 +45,6 @@ __all__ = [
     "with_audio_features",
     "with_audio_features_vs",
     "audio_ruleset",
+    "audio_quality_ruleset",
+    "quality_clips_table",
 ]

@@ -22,6 +22,7 @@ from .wav import encode_wav, encode_wav_pcm16
 __all__ = [
     "clips_table",
     "mixed_codec_clips_table",
+    "quality_clips_table",
     "MIXED_CODECS",
     "expected_table",
     "expected_pcm",
@@ -238,6 +239,52 @@ def dup_codec_clips_table(
     pairs are exactly {(i−1, i) : i%3==2, neither container corrupt}."""
     num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_dup_row)
+    return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
+# signal-quality defect cadences (quality_clips_table).  Margins measured
+# over the full i in [0, 2000) range (tests/test_audio_quality.py pins them):
+# clean rows have clip_ratio == 0, |dc| <= 0.007, peak <= 0.71, rms >= 0.36;
+# clipped rows clip_ratio >= 0.46 and peak == 1.0; dc rows |dc| >= 0.24;
+# quiet rows rms <= 0.015 — every rule threshold sits >3x from both sides.
+CLIPPED_EVERY = 19  # x4 gain -> encoder hard-clips at full scale
+DC_OFFSET_EVERY = 43  # +0.25 DC bias
+QUIET_EVERY = 47  # x0.01 gain -> inaudible (defeats clip/dc physically)
+
+
+def _make_quality_row(i: int) -> tuple:
+    """Row i of the signal-quality corpus: the F1 waveform with gain/bias
+    defects injected at deterministic cadences (DC first, then gain, then
+    attenuation — so a quiet re-take of a clipped clip is genuinely quiet,
+    and the oracle's effective flags are (clipped AND NOT quiet) etc., still
+    pure index arithmetic).  Metadata columns are honest; every 41st
+    container is truncated (same CORRUPT_BYTES_EVERY as F1)."""
+    sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+    true_dur_ms = 200 + int(_rng(i, 5) * 800)
+    n_samples = int(round(sr * true_dur_ms / 1000.0))
+    pcm = expected_pcm(i, sr, n_samples)
+    if i > 0 and i % DC_OFFSET_EVERY == 0:
+        pcm = pcm + 0.25
+    if i > 0 and i % CLIPPED_EVERY == 0:
+        pcm = pcm * 4.0  # encode_wav clips to [-1, 1] -> samples pin at 32767
+    if i > 0 and i % QUIET_EVERY == 0:
+        pcm = pcm * 0.01
+    blob = encode_wav_pcm16(pcm, sr)
+    if i > 0 and i % CORRUPT_BYTES_EVERY == 0:
+        blob = blob[: len(blob) // 3]
+    return (
+        f"clip-{i:012d}", bytearray(blob), sr, true_dur_ms, "pcm_s16le",
+        expected_transcript(i),
+    )
+
+
+def quality_clips_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """Corpus for signal-quality validation (clipping / DC bias / silence):
+    same distributed generator pattern as :func:`clips_table`."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(_make_quality_row)
     return spark.createDataFrame(rdd, CLIP_SCHEMA)
 
 

@@ -113,12 +113,16 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     probe every bytes-family dialect function compiles onto).  Spectral
     features live in their own probe (below) so rulesets that never mention
     them never pay the per-clip rfft."""
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "codec")}
+    keys = (
+        "valid", "n_samples", "sr", "dur_ms", "rms", "codec",
+        "peak", "clip_ratio", "dc_offset",
+    )
+    out = {k: [] for k in keys}
     for b in blobs:
         d = _decode_info(b)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms", "codec"):
+            for k in keys[1:]:
                 out[k].append(None)
             continue
         samples, sr, codec = d
@@ -130,13 +134,26 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
         if len(samples):
             x = samples.astype(np.float64) / 32768.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))))
+            # quality trio from the SAME decoded buffer (normalized so a
+            # full-scale int16 sample is exactly 1.0): hard-clip detection
+            # (fraction of samples at >=99.9% full scale — a clipped encode
+            # pins samples to +/-32767), DC bias (mic/ADC offset), and peak
+            # headroom.  Marginal cost ~3 vector folds per clip, zero extra
+            # decode — every quality rule fuses onto this one probe.
+            xf = samples.astype(np.float64) / 32767.0
+            ax = np.abs(xf)
+            out["peak"].append(float(ax.max()))
+            out["clip_ratio"].append(float((ax >= 0.999).mean()))
+            out["dc_offset"].append(float(xf.mean()))
         else:
-            out["rms"].append(None)
+            for k in ("rms", "peak", "clip_ratio", "dc_offset"):
+                out[k].append(None)
     return pd.DataFrame(out)
 
 
 _BYTES_PROBE_TYPE = (
-    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, codec string"
+    "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
+    "codec string, peak double, clip_ratio double, dc_offset double"
 )
 
 
@@ -174,6 +191,9 @@ _PROBE_FIELDS = {
     "audio_dur_ms": "dur_ms",
     "audio_rms": "rms",
     "audio_codec": "codec",  # header coding name (wav.WAV_CODECS), NULL if invalid
+    "audio_peak": "peak",  # max |sample| with full-scale int16 == 1.0
+    "audio_clip_ratio": "clip_ratio",  # fraction of samples at >=0.999 full scale
+    "audio_dc_offset": "dc_offset",  # mean normalized sample (DC bias)
 }
 
 # spectral family: same field-of-shared-probe compilation, separate probe UDF
@@ -454,6 +474,31 @@ def audio_ruleset(require_snr_db: float = 30.0, codec_consistent: bool = False):
     if codec_consistent:
         rules.append(rule("audio_codec == codec", name="codec_consistent"))
     return ruleset(*rules)
+
+
+def audio_quality_ruleset(
+    max_clip_ratio: float = 0.01,
+    max_abs_dc: float = 0.05,
+    max_peak: float = 0.999,
+    min_rms: float = 0.05,
+):
+    """Signal-quality rules over the raw bytes dialect (no feature join
+    needed): hard-clipping, DC bias, peak headroom and audibility — the
+    checks a training corpus runs BEFORE paying for transcription-level
+    validation.  All five spellings are fields of the shared single-decode
+    probe, so the whole ruleset costs one ArrowEvalPython pass per clip and
+    fuses into the one-scan check_data aggregate.  Undecodable clips yield
+    NULL features and fail every rule (allow_na=False), matching the
+    reference's NA-fails contract (R/check_data.R:277-280)."""
+    from ..rules import rule, ruleset
+
+    return ruleset(
+        rule("audio_valid(bytes)", name="decodes"),
+        rule(f"audio_clip_ratio(bytes) <= {max_clip_ratio}", name="not_clipped"),
+        rule(f"abs(audio_dc_offset(bytes)) <= {max_abs_dc}", name="no_dc_offset"),
+        rule(f"audio_peak(bytes) <= {max_peak}", name="peak_in_range"),
+        rule(f"audio_rms(bytes) >= {min_rms}", name="rms_audible"),
+    )
 
 
 def _audio_silence_ratio_impl(blobs: pd.Series) -> pd.Series:
