@@ -20,7 +20,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 import dataverifyr_spark as dv
-from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
+from dataverifyr_spark.audio import (
+    audio_quality_ruleset,
+    audio_ruleset,
+    clips_table,
+    with_audio_features,
+)
 from dataverifyr_spark.operators.dedup import (
     exact_dup_groups,
     lsh_candidate_pairs,
@@ -245,6 +250,15 @@ def bench_queries(
     run(
         "audio_validate_clips",
         lambda: dv.check_data(with_audio_features(clips), audio_ruleset()).collect(),
+    )
+
+    # signal-quality rules (r6): peak/clip_ratio/dc_offset ride the SAME
+    # single-decode probe as audio_valid/audio_rms — timing the 5-rule
+    # quality check on the SAME cached corpus as the headline isolates the
+    # probe-field cost (~3 numpy vector folds) from decode/fixture noise
+    run(
+        "audio_quality_rules",
+        lambda: dv.check_data(clips, audio_quality_ruleset()).collect(),
     )
 
     # cross-codec audio dedup FINGERPRINT throughput (r6): one Arrow decode
