@@ -297,7 +297,8 @@ register_audio_functions()
 
 _PROBE_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "snr_db double, transcript_ok boolean, codec string"
+    "snr_db double, transcript_ok boolean, codec string, "
+    "peak double, clip_ratio double, dc_offset double"
 )
 
 
@@ -309,14 +310,18 @@ def _audio_probe_impl(
     out = {
         k: []
         for k in (
-            "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok", "codec"
+            "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok",
+            "codec", "peak", "clip_ratio", "dc_offset",
         )
     }
     for cid, blob, tr in zip(clip_ids, blobs, transcripts):
         d = _decode_info(blob)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
+            for k in (
+                "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
+                "peak", "clip_ratio", "dc_offset",
+            ):
                 out[k].append(None)
         else:
             samples, sr, codec = d
@@ -327,6 +332,14 @@ def _audio_probe_impl(
             out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
             x = samples.astype(np.float64) / 32767.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
+            if len(x):
+                ax = np.abs(x)
+                out["peak"].append(float(ax.max()))
+                out["clip_ratio"].append(float((ax >= 0.999).mean()))
+                out["dc_offset"].append(float(x.mean()))
+            else:
+                for k in ("peak", "clip_ratio", "dc_offset"):
+                    out[k].append(None)
             snr = None
             if cid is not None:
                 try:
@@ -355,7 +368,10 @@ def with_audio_features(
     """df + decoded audio feature columns (one decode per clip, one Arrow
     batch round-trip).  Adds: {prefix}valid, {prefix}n_samples, {prefix}sr,
     {prefix}dur_ms, {prefix}rms, {prefix}snr_db, {prefix}transcript_ok,
-    {prefix}codec (header coding name, NULL on invalid container)."""
+    {prefix}codec (header coding name, NULL on invalid container), and the
+    signal-quality trio {prefix}peak / {prefix}clip_ratio /
+    {prefix}dc_offset (same values as the audio_peak/audio_clip_ratio/
+    audio_dc_offset dialect functions)."""
     cache = _ctx_cache()
     if "audio_probe" not in cache:
         cache["audio_probe"] = pandas_udf(_audio_probe_impl, _PROBE_TYPE)
@@ -363,7 +379,8 @@ def with_audio_features(
     struct = probe(F.col(clip_id_col), F.col(bytes_col), F.col(transcript_col))
     out = df.withColumn("__audio_probe", struct)
     for field in (
-        "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok", "codec"
+        "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok",
+        "codec", "peak", "clip_ratio", "dc_offset",
     ):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     return out.drop("__audio_probe")

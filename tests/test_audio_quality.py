@@ -140,6 +140,32 @@ class TestQualityCheckData:
         }
         assert got == want
 
+    def test_feature_join_path_equals_dialect_path(self, spark, clips):
+        """with_audio_features exposes the same quality trio as plain
+        columns (audio_peak/audio_clip_ratio/audio_dc_offset) — verdict
+        counts through the feature-join path must equal the dialect path."""
+        from dataverifyr_spark.audio import with_audio_features
+
+        feats = with_audio_features(clips)
+        via_join = {
+            r["name"]: (r["pass"], r["fail"])
+            for r in dv.check_data(
+                feats,
+                dv.ruleset(
+                    dv.rule("audio_clip_ratio <= 0.01", name="not_clipped"),
+                    dv.rule("abs(audio_dc_offset) <= 0.05", name="no_dc_offset"),
+                    dv.rule("audio_peak <= 0.999", name="peak_in_range"),
+                    dv.rule("audio_rms >= 0.05", name="rms_audible"),
+                ),
+            ).collect()
+        }
+        via_dialect = {
+            r["name"]: (r["pass"], r["fail"])
+            for r in dv.check_data(clips, audio_quality_ruleset()).collect()
+        }
+        for name in via_join:
+            assert via_join[name] == via_dialect[name], name
+
     def test_quality_rules_fuse_single_probe(self, spark, clips):
         """All five quality rules are fields of the one bytes probe: the
         fused check plan must contain exactly one ArrowEvalPython node with
