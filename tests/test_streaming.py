@@ -156,6 +156,49 @@ class TestStreamingAudio:
         for name, passed in batch.items():
             assert got[name] == passed, name
 
+    def test_quality_rules_on_stream(self, spark, tmp_path):
+        """Signal-quality rules (r6: clipping/DC/headroom/audibility on the
+        shared probe) are plain row predicates, so they stream unchanged:
+        micro-batch pass totals must equal the batch check_data run over
+        the same quality corpus."""
+        from pyspark.sql import functions as F
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import audio_quality_ruleset, quality_clips_table
+        from dataverifyr_spark.check import compile_rule_predicate
+
+        src = str(tmp_path / "qclips_in")
+        clips = quality_clips_table(spark, 250, num_partitions=3)
+        clips.write.parquet(src)
+
+        sdf = (
+            spark.readStream.schema(clips.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rules = audio_quality_ruleset()
+        aggs = [F.count(F.lit(1)).alias("tests")] + [
+            F.sum(F.when(compile_rule_predicate(r).column, 1).otherwise(0)).alias(r.name)
+            for r in rules
+        ]
+        q = (
+            sdf.groupBy().agg(*aggs)
+            .writeStream.format("memory")
+            .queryName("quality_stream_totals")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT * FROM quality_stream_totals").collect()[0].asDict()
+
+        batch = {r["name"]: r["pass"] for r in dv.check_data(clips, rules).collect()}
+        assert got["tests"] == 250
+        for name, passed in batch.items():
+            assert got[name] == passed, name
+
 
 class TestCumulativeState:
     def test_running_totals_across_micro_batches(self, spark, stream_input, tmp_path):
