@@ -738,6 +738,38 @@ def q_audio_quality_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.check_data(clips, audio_quality_ruleset()).select(*_SUMMARY_COLS)
 
 
+def q_transcript_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-side validation of the clip+caption pairs (r6): speaking-
+    rate plausibility (``n_words(transcript) / (dur_ms/1000) <= 30``),
+    CER-style bounded edit distance vs the reference-captions table
+    (``edit_distance(...) <= 2`` — F.levenshtein, pure JVM), exact equality,
+    and non-emptiness, all fused into the ONE-scan check aggregate with
+    ZERO Python (the decode probe is not involved; ReadSchema prunes to
+    transcript/dur_ms + the join key, audio bytes never read).  The
+    reference-captions join is a left equi-join on clip_id — both sides are
+    data-scale at 10^12 clips, so no broadcast assumption; clips missing a
+    reference row keep NULL expected_transcript and FAIL the equality rules
+    (NA-fails, R/check_data.R:277-280) instead of vanishing from `tests`.
+    Caption defects (overlong %53, one-char typo %59, disjoint-alphabet
+    garbage %61, empty %31, NULL %37 — later cadence wins) are pure index
+    arithmetic for the oracle; the graded cer_bounded rule must pass typo
+    rows (distance exactly 1) that transcript_exact fails — equality can't
+    tell recoverable ASR noise from garbage, a bounded edit distance can.
+    The reference has no text-distance functions (R/ dialect is arithmetic
+    + string predicates only); graft extension."""
+    from dataverifyr_spark.audio import (
+        transcript_clips_table,
+        transcript_expected_table,
+        transcript_ruleset,
+        with_expected_transcript,
+    )
+
+    clips = transcript_clips_table(spark, 2000)
+    expected = transcript_expected_table(spark, 2000)
+    joined = with_expected_transcript(clips, expected)
+    return dv.check_data(joined, transcript_ruleset()).select(*_SUMMARY_COLS)
+
+
 def q_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec audio near-duplicate pairs (r6): every 3rd clip in the
     corpus is the PREVIOUS clip's waveform re-encoded under a different
@@ -1538,6 +1570,7 @@ RETIRED_GATES: dict[str, str] = {
     "audio_validate_clips": "subset of audio_mixed_codec_validate (same 6 rules + cadences, single-codec corpus); stays the bench headline + tests/test_audio.py",
     "embedding_dedup_groups": "composition of near_dup_pairs_embeddings (gate) + connected_components (CC stage gated via near_dup_groups_documents; stress in tests/test_operators.py::TestConnectedComponentsStress); driver-green r04/r05; slot given to audio_dedup_pairs which drives the same embedding_near_dup_pairs operator (broadcast-UDF arm) end-to-end",
     "token_stats_documents": "whitespace arm of token_stats; driver-green r04/r05; bpe_token_stats_documents gates the same entrypoint's strictly stronger arm (trained merges + the whitespace pre-split), whitespace path stays green in tests/test_text.py; slot given to audio_quality_validate (clipping/DC/headroom/audibility rules, new probe fields)",
+    "most_frequent_customer": "standalone top-n path; driver-green r04/r05; describe_by_most_frequent gates the strictly stronger keyed WindowGroupLimit variant and tests/test_describe.py keeps the standalone path green; slot given to transcript_validate (speaking-rate + levenshtein CER rules, new n_words/edit_distance dialect functions)",
 }
 
 
@@ -1556,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mixed_codec_validate": q_audio_mixed_codec_validate,
         "audio_dedup_pairs": q_audio_dedup_pairs,
         "audio_quality_validate": q_audio_quality_validate,
+        "transcript_validate": q_transcript_validate,
         # -- outside the r5 window (last driver-verified in r4) --
         "stream_windowed_events": q_stream_windowed_events,
         "drift_psi_by_returnflag": q_drift_psi_by_returnflag,
@@ -1583,7 +1617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores_documents": q_lang_scores_documents,
         "near_dup_pairs_embeddings": q_near_dup_pairs_embeddings,
         "events_freshness": q_events_freshness,
-        "most_frequent_customer": q_most_frequent_customer,
         "lsh_jaccard_pairs_documents": q_lsh_jaccard_pairs_documents,
         "near_dup_groups_documents": q_near_dup_groups_documents,
         "simhash_documents": q_simhash_documents,
@@ -2403,6 +2436,49 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
 
+    # transcript corpus (transcript_clips_table): defects REPLACE the
+    # caption, later cadence winning (fixture if-chain order: overlong %53,
+    # typo %59, garbage %61, empty %31, null %37), so the effective flags
+    # below carry the same priority guards.  Margins pinned in
+    # tests/test_transcripts.py: clean rate <= 11 w/s vs threshold 30;
+    # overlong >= 120 w/s; typo edit distance exactly 1 vs bound 2; garbage
+    # distance >= 40 (alphabet disjoint from the vocab, LCS = 0); the
+    # shortest vocab word is 4 chars so empty captions sit at distance >= 4.
+    transcript_validate = """
+    WITH flags AS (
+      SELECT i,
+             (i > 0 AND i % 37 = 0) AS null_t,
+             (i > 0 AND i % 31 = 0 AND NOT i % 37 = 0) AS empty_t,
+             (i > 0 AND i % 61 = 0 AND NOT i % 31 = 0 AND NOT i % 37 = 0) AS garbage,
+             (i > 0 AND i % 59 = 0 AND NOT i % 61 = 0 AND NOT i % 31 = 0
+                    AND NOT i % 37 = 0) AS typo,
+             (i > 0 AND i % 53 = 0 AND NOT i % 59 = 0 AND NOT i % 61 = 0
+                    AND NOT i % 31 = 0 AND NOT i % 37 = 0) AS overlong
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    """ + " UNION ALL ".join(
+        [
+            audio_rule_row(
+                "transcript_nonempty", "nchar(trimws(transcript)) > 0",
+                "NOT empty_t AND NOT null_t",
+            ),
+            audio_rule_row(
+                "rate_plausible",
+                "n_words(transcript) / (dur_ms / 1000.0) <= 30.0",
+                "NOT overlong AND NOT null_t",
+            ),
+            audio_rule_row(
+                "cer_bounded",
+                "edit_distance(transcript, expected_transcript) <= 2",
+                "NOT garbage AND NOT overlong AND NOT empty_t AND NOT null_t",
+            ),
+            audio_rule_row(
+                "transcript_exact", "transcript == expected_transcript",
+                "NOT typo AND NOT garbage AND NOT overlong AND NOT empty_t AND NOT null_t",
+            ),
+        ]
+    )
+
     # row-LEVEL audio violations: the cadence determines exactly WHICH
     # clip_ids violate each rule (corrupt rows also fail sr-consistency —
     # NULL decoded sr never equals the column)
@@ -2632,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate_clips": audio,
         "audio_mixed_codec_validate": audio_mixed,
         "audio_quality_validate": audio_quality,
+        "transcript_validate": transcript_validate,
         # re-encoded-duplicate corpus: pairs are pure index arithmetic —
         # every 3rd clip duplicates its predecessor's waveform, every 41st
         # container is truncated (NULL fingerprint, pairs drop)

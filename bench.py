@@ -261,6 +261,32 @@ def bench_queries(
         lambda: dv.check_data(clips, audio_quality_ruleset()).collect(),
     )
 
+    # transcript rules (r6): speaking-rate + levenshtein-CER + equality vs
+    # the reference-captions table — pure Catalyst (zero Python), so this
+    # times the caption equi-join + fused 4-rule aggregate WITHOUT any
+    # decode cost.  Same cached corpus size as the headline; the join side
+    # regenerates per run (it's two narrow string columns, cheap, and the
+    # join is the thing being measured).
+    from dataverifyr_spark.audio import (
+        transcript_clips_table,
+        transcript_expected_table,
+        transcript_ruleset,
+        with_expected_transcript,
+    )
+
+    tclips = transcript_clips_table(spark, N_CLIPS, num_partitions=media_parts).cache()
+    tclips.count()
+    texp = transcript_expected_table(spark, N_CLIPS, num_partitions=media_parts).cache()
+    texp.count()
+    run(
+        "transcript_rules",
+        lambda: dv.check_data(
+            with_expected_transcript(tclips, texp), transcript_ruleset()
+        ).collect(),
+    )
+    tclips.unpersist()
+    texp.unpersist()
+
     # cross-codec audio dedup FINGERPRINT throughput (r6): one Arrow decode
     # + rfft + 512-bin profile per clip — the dominant per-clip cost of
     # audio_near_dup_pairs.  The LSH pair join itself is deliberately NOT

@@ -12,6 +12,9 @@ from .fixtures import (
     expected_pcm,
     expected_table,
     expected_transcript,
+    rate_transcript,
+    transcript_clips_table,
+    transcript_expected_table,
 )
 from .rules import (
     audio_near_dup_pairs,
@@ -22,6 +25,7 @@ from .rules import (
     with_audio_features,
     with_audio_features_vs,
 )
+from .transcripts import transcript_ruleset, with_expected_transcript
 from .wav import WAV_CODECS, decode_wav, decode_wav_info, encode_wav, encode_wav_pcm16, snr_db
 
 __all__ = [
@@ -47,4 +51,9 @@ __all__ = [
     "audio_ruleset",
     "audio_quality_ruleset",
     "quality_clips_table",
+    "rate_transcript",
+    "transcript_clips_table",
+    "transcript_expected_table",
+    "transcript_ruleset",
+    "with_expected_transcript",
 ]

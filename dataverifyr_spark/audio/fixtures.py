@@ -288,6 +288,91 @@ def quality_clips_table(
     return spark.createDataFrame(rdd, CLIP_SCHEMA)
 
 
+# transcript-defect cadences (transcript_clips_table).  Applied in this
+# order, later overriding earlier — the oracle's effective flags mirror the
+# same priority (null > empty > garbage > typo > overlong).  Margins (pinned
+# in tests/test_transcripts.py): clean speaking rate <= 11 words/s vs the
+# 30 w/s rule threshold; overlong rows >= 120 w/s; typo rows sit at edit
+# distance exactly 1 vs the <= 2 CER bound; garbage rows >= 40 (alphabet
+# disjoint from the vocab, so LCS = 0).
+OVERLONG_TRANSCRIPT_EVERY = 53  # 120-word caption on a <=1 s clip
+TYPO_TRANSCRIPT_EVERY = 59  # one substituted char (bounded ASR noise)
+GARBAGE_TRANSCRIPT_EVERY = 61  # 40 chars disjoint from the vocab alphabet
+
+
+def rate_transcript(i: int) -> str:
+    """Canonical duration-linked transcript for row i of the transcript
+    corpus: word count = 1 + floor(dur_s * rate) with rate in [2, 6) words/s,
+    so every clean row speaks at most 1/dur_s + 6 <= 11 words/s (dur >=
+    200 ms) — 2.7x under the 30 w/s plausibility threshold."""
+    dur_s = (200 + int(_rng(i, 5) * 800)) / 1000.0
+    rate = 2.0 + 4.0 * _rng(i, 6)
+    n_words = 1 + int(dur_s * rate)
+    return " ".join(_VOCAB[hash_u64(i * 67 + w) % len(_VOCAB)] for w in range(n_words))
+
+
+def _make_transcript_row(i: int) -> tuple:
+    """Row i of the transcript-defect corpus: honest audio + metadata (the
+    family under test is pure-Catalyst transcript rules — no decode), with
+    caption defects injected at deterministic cadences.  Defects REPLACE the
+    canonical transcript, later cadence winning, so every rule verdict is
+    index arithmetic for the oracle."""
+    sr = SAMPLE_RATES[i % len(SAMPLE_RATES)]
+    true_dur_ms = 200 + int(_rng(i, 5) * 800)
+    n_samples = int(round(sr * true_dur_ms / 1000.0))
+    blob = encode_wav_pcm16(expected_pcm(i, sr, n_samples), sr)
+
+    transcript: str | None = rate_transcript(i)
+    if i > 0 and i % OVERLONG_TRANSCRIPT_EVERY == 0:
+        transcript = " ".join(
+            _VOCAB[hash_u64(i * 71 + w) % len(_VOCAB)] for w in range(120)
+        )
+    if i > 0 and i % TYPO_TRANSCRIPT_EVERY == 0:
+        transcript = "Q" + rate_transcript(i)[1:]  # 'Q' never in the vocab
+    if i > 0 and i % GARBAGE_TRANSCRIPT_EVERY == 0:
+        transcript = "#" * 40
+    if i > 0 and i % EMPTY_TRANSCRIPT_EVERY == 0:
+        transcript = ""
+    if i > 0 and i % NULL_TRANSCRIPT_EVERY == 0:
+        transcript = None
+
+    return (f"clip-{i:012d}", bytearray(blob), sr, true_dur_ms, "pcm_s16le", transcript)
+
+
+def transcript_clips_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """Corpus for transcript-side validation (speaking-rate plausibility,
+    CER-bounded equality, exact equality, non-emptiness): same distributed
+    generator pattern as :func:`clips_table`."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(
+        _make_transcript_row
+    )
+    return spark.createDataFrame(rdd, CLIP_SCHEMA)
+
+
+TRANSCRIPT_EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("expected_transcript", T.StringType(), True),
+    ]
+)
+
+
+def transcript_expected_table(
+    spark: SparkSession, n: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """Reference captions matching :func:`transcript_clips_table` — the
+    originals table a real corpus persists; transcript rules join against it
+    (data-scale equi-join on clip_id, never a broadcast assumption)."""
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions).map(
+        lambda i: (f"clip-{i:012d}", rate_transcript(i))
+    )
+    return spark.createDataFrame(rdd, TRANSCRIPT_EXPECTED_SCHEMA)
+
+
 EXPECTED_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType(), False),

@@ -471,6 +471,29 @@ _builtin("coalesce", F.coalesce, 1, 99)
 _builtin("paste0", F.concat, 1, 99)
 
 
+def _n_words(c: Column) -> Column:
+    # Whitespace token count, pure Catalyst (split/size — no UDF in the
+    # fused scan).  Contract: NULL -> NULL, blank/whitespace-only -> 0
+    # (guarded explicitly: split('') yields [''] i.e. size 1, and size(NULL)
+    # is conf-dependent across Spark versions).  Graft extension for
+    # transcript-rate rules; the reference dialect (R/rule.R) has no token
+    # functions.
+    s = c.cast("string")
+    t = F.trim(s)
+    return (
+        F.when(s.isNull(), F.lit(None).cast("int"))
+        .when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+    )
+
+
+_builtin("n_words", _n_words, 1)
+# Levenshtein distance (JVM-side, codegen) — the CER-style transcript rule
+# primitive: edit_distance(transcript, expected_transcript) <= k tolerates
+# bounded ASR/typo noise where exact equality cannot.  NULL in -> NULL out.
+_builtin("edit_distance", lambda a, b: F.levenshtein(a.cast("string"), b.cast("string")), 2)
+
+
 def _lit_str(c: Column) -> Column:
     return c
 
@@ -658,6 +681,14 @@ _SQL_FUNCS = {
     "paste0": lambda a: f"CONCAT({', '.join(a)})",
     "startsWith": lambda a: f"({a[0]} LIKE {a[1]} || '%')",
     "endsWith": lambda a: f"({a[0]} LIKE '%' || {a[1]})",
+    "n_words": lambda a: (
+        f"(CASE WHEN {a[0]} IS NULL THEN NULL"
+        f" WHEN LENGTH(TRIM(CAST({a[0]} AS VARCHAR))) = 0 THEN 0"
+        f" ELSE len(regexp_split_to_array(TRIM(CAST({a[0]} AS VARCHAR)), '\\s+')) END)"
+    ),
+    "edit_distance": lambda a: (
+        f"levenshtein(CAST({a[0]} AS VARCHAR), CAST({a[1]} AS VARCHAR))"
+    ),
 }
 
 _SQL_OPS = {"&": "AND", "|": "OR", "==": "=", "^": "^"}
