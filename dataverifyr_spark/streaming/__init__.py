@@ -1,5 +1,6 @@
 from .validate import (
     check_stream,
+    check_stream_against,
     check_stream_cumulative,
     read_windowed_summary,
     validate_stream_to_ledger,
@@ -8,6 +9,7 @@ from .validate import (
 
 __all__ = [
     "check_stream",
+    "check_stream_against",
     "check_stream_cumulative",
     "read_windowed_summary",
     "validate_stream_to_ledger",

@@ -8,9 +8,12 @@ identical Column predicates as the batch path, so semantics (NULL→fail,
 negate-then-guard) carry over verbatim; the fused conditional-sum aggregation
 becomes a (windowed) streaming aggregation with watermark-bounded state.
 
-Two shapes:
+Shapes:
 - ``check_stream``: declarative — streaming DataFrame in, streaming
   summary DataFrame out (one row per window × rule after the explode).
+- ``check_stream_against``: the same, with a stream-static left equi-join
+  against a reference table first (incremental ingest validated against
+  persisted captions/originals; unmatched rows fail, never vanish).
 - ``validate_stream_to_ledger``: foreachBatch — every micro-batch runs the
   batch ``check_data_by`` and appends per-partition rows to the
   ValidationLedger, unifying streaming ingest with the resumable batch
@@ -27,6 +30,7 @@ from ..rules import ReferenceRule, Rule, Ruleset, UniquenessRule, ruleset
 
 __all__ = [
     "check_stream",
+    "check_stream_against",
     "check_stream_cumulative",
     "validate_stream_to_ledger",
     "validate_stream_windowed_to_sink",
@@ -289,6 +293,38 @@ def read_windowed_summary(spark, sink_path: str) -> DataFrame:
         F.sum("pass").alias("pass"),
         F.sum("fail").alias("fail"),
     )
+
+
+def check_stream_against(
+    sdf: DataFrame,
+    static_df: DataFrame,
+    rules: Ruleset | Rule,
+    time_col: str,
+    on: str = "clip_id",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed rule summary for a stream validated AGAINST a static
+    reference table (stream-static left equi-join) — the incremental-ingest
+    pattern: newly arriving clips are checked against the persisted
+    captions/originals table without re-reading the corpus.
+
+    Left join, stream side left (the only side Structured Streaming allows
+    to be unbounded in a left outer join): a streamed row with no reference
+    match keeps NULL reference columns and FAILS equality rules (NA-fails,
+    R/check_data.R:277-280) instead of silently dropping out of `tests` —
+    the same contract as the batch ``with_expected_transcript`` path.
+
+    Scale notes: Spark re-plans the static side per micro-batch, so a
+    catalog-backed reference table picks up appended captions between
+    batches; a small static side is broadcast by the planner, a data-scale
+    one becomes a shuffled join per batch — for 10^12-row reference tables
+    prefer the foreachBatch ledger path with a bucketed/pre-partitioned
+    join.  Rules may reference columns from either side; the usual
+    streaming limits apply (no reference/uniqueness rules — _rule_aggs
+    raises)."""
+    joined = sdf.join(static_df, on=on, how="left")
+    return check_stream(joined, rules, time_col, window=window, watermark=watermark)
 
 
 def check_stream_cumulative(

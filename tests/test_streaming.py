@@ -428,3 +428,90 @@ class TestLateDataAccounting:
         assert _parse_duration_s("2 hours") == 7200.0
         with pytest.raises(ValueError, match="duration"):
             _parse_duration_s("fortnight")
+
+
+class TestStreamStaticReference:
+    def test_transcript_rules_against_static_captions(self, spark, tmp_path):
+        """Incremental-ingest validation (r6): clips arrive as micro-batches
+        and are validated against the STATIC reference-captions table via a
+        stream-static left join — summed per-window counts equal the batch
+        check_data over the same joined frame, and unmatched streamed rows
+        fail the equality rules instead of vanishing (left-join NA-fails)."""
+        from pyspark.sql import functions as F
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import (
+            transcript_clips_table,
+            transcript_expected_table,
+            transcript_ruleset,
+            with_expected_transcript,
+        )
+        from dataverifyr_spark.streaming import check_stream_against
+
+        n = 300
+        src = str(tmp_path / "tclips_in")
+        clips = transcript_clips_table(spark, n, num_partitions=3).withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.substring("clip_id", -4, 4).cast("int")),
+        )
+        clips.write.parquet(src)
+        # captions table misses the last 50 clips: those streamed rows must
+        # still be counted and must fail the equality rules
+        captions = transcript_expected_table(spark, n - 50)
+
+        sdf = (
+            spark.readStream.schema(clips.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rules = transcript_ruleset()
+        summary = check_stream_against(
+            sdf, captions, rules, time_col="ts", on="clip_id", window="1 minute"
+        )
+        q = (
+            summary.writeStream.format("memory")
+            .queryName("tstream_summary")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["name"]: (r["tests"], r["pass"], r["fail"])
+            for r in spark.sql(
+                "SELECT name, SUM(tests) AS tests, SUM(`pass`) AS `pass`, "
+                "SUM(fail) AS fail FROM tstream_summary GROUP BY name"
+            ).collect()
+        }
+
+        batch = {
+            r["name"]: (r["tests"], r["pass"], r["fail"])
+            for r in dv.check_data(
+                with_expected_transcript(clips.drop("ts"), captions), rules
+            ).collect()
+        }
+        assert set(got) == set(batch)
+        for name in batch:
+            assert got[name] == batch[name], name
+        # the 50 unmatched rows are inside tests and inside the exact-rule fails
+        assert got["transcript_exact"][0] == n
+
+    def test_uniqueness_rule_rejected_in_stream_static(self, spark, tmp_path):
+        import pytest as _pytest
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import transcript_expected_table
+        from dataverifyr_spark.streaming import check_stream_against
+
+        sdf = spark.readStream.format("rate").load()
+        static = transcript_expected_table(spark, 10)
+        with _pytest.raises(ValueError, match="uniqueness"):
+            check_stream_against(
+                sdf.withColumnRenamed("value", "clip_id"),
+                static,
+                dv.ruleset(dv.unique_rule("clip_id")),
+                time_col="timestamp",
+            )
