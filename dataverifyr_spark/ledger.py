@@ -131,6 +131,38 @@ class ValidationLedger:
         out.write.mode("append").parquet(self.path)
         return run_id
 
+    def run_incremental(
+        self,
+        df: DataFrame,
+        rules: Ruleset | Rule,
+        run_id: str,
+        file_col: str = "_ingest_file",
+    ) -> str:
+        """Validate only files ADDED since the last invocation with this
+        ``run_id`` — the daily-ingest pattern: a corpus directory grows by
+        appended parquet files, and each invocation scans just the delta,
+        never the 100 TB already validated.
+
+        The unit of lineage is the source FILE (``input_file_name()``),
+        reusing the same anti-join resume primitive the partition ledger
+        uses within a run — so this is simultaneously incremental across
+        ingests and crash-resumable within one.  With an Iceberg source the
+        same composition runs over a snapshot-diff read instead; for plain
+        parquet directories the file listing IS the delta.
+
+        ``df`` must be a file-based source (parquet/json/csv scan):
+        ``input_file_name()`` is empty for non-file sources, which would
+        collapse every row into one ledger key.  Guarded driver-side via
+        ``df.inputFiles()`` (a listing, not a scan — no extra pass over the
+        data)."""
+        if not df.inputFiles():
+            raise ValueError(
+                "run_incremental needs a file-based source "
+                "(df.inputFiles() is empty — input_file_name() would be '')"
+            )
+        scoped = df.withColumn(file_col, F.input_file_name())
+        return self.run(scoped, rules, part_col=file_col, run_id=run_id)
+
     def results(self, run_id: str) -> DataFrame:
         """Per-(partition, rule) rows, deduped to the latest commit."""
         led = self._read()

@@ -394,3 +394,65 @@ class TestSchemaDrift:
         v2 = spark.createDataFrame([(1,)], s2)
         d = schema_diff(v2, p).collect()
         assert len(d) == 1 and d[0]["status"] == "nullability_changed"
+
+
+class TestLedgerIncremental:
+    def test_only_new_files_validated_across_ingests(self, spark, tmp_path):
+        """Daily-ingest pattern: the corpus directory grows by appended
+        parquet files; each run_incremental scans just the delta.  File
+        lineage uses the same anti-join resume primitive as within-run
+        partition resume."""
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.audio import transcript_clips_table
+        from dataverifyr_spark.ledger import ValidationLedger
+
+        corpus = tmp_path / "corpus"
+        rules = dv.ruleset(dv.rule("nchar(trimws(transcript)) > 0", name="nonempty"))
+
+        # ingest 1: two files
+        transcript_clips_table(spark, 100, num_partitions=1).write.mode(
+            "append"
+        ).parquet(str(corpus))
+        transcript_clips_table(spark, 100, num_partitions=1).write.mode(
+            "append"
+        ).parquet(str(corpus))
+        led = ValidationLedger(spark, str(tmp_path / "ledger"))
+        led.run_incremental(spark.read.parquet(str(corpus)), rules, run_id="daily")
+        first_files = {
+            r["part_key"] for r in led.results("daily").select("part_key").collect()
+        }
+        assert len(first_files) == 2
+
+        # ingest 2: one more file — only IT gets validated
+        transcript_clips_table(spark, 100, num_partitions=1).write.mode(
+            "append"
+        ).parquet(str(corpus))
+        raw_before = spark.read.parquet(str(led.path)).count()
+        led.run_incremental(spark.read.parquet(str(corpus)), rules, run_id="daily")
+        raw_after = spark.read.parquet(str(led.path)).count()
+        all_files = {
+            r["part_key"] for r in led.results("daily").select("part_key").collect()
+        }
+        assert len(all_files) == 3
+        # exactly one file's worth of rule rows appended (1 rule x 1 file):
+        # the two already-validated files were not re-scanned or re-written
+        assert raw_after - raw_before == 1
+
+        # no-op third invocation: nothing pending, nothing written
+        led.run_incremental(spark.read.parquet(str(corpus)), rules, run_id="daily")
+        assert spark.read.parquet(str(led.path)).count() == raw_after
+
+        # totals aggregate across ingests
+        tot = {r["name"]: r for r in led.totals("daily").collect()}
+        assert tot["nonempty"]["tests"] == 300
+
+    def test_non_file_source_rejected(self, spark):
+        import pytest as _pytest
+
+        import dataverifyr_spark as dv
+        from dataverifyr_spark.ledger import ValidationLedger
+
+        df = spark.range(10).withColumnRenamed("id", "x")
+        led = ValidationLedger(spark, "/tmp/never-written-ledger")
+        with _pytest.raises(ValueError, match="file-based"):
+            led.run_incremental(df, dv.ruleset(dv.rule("x >= 0")), run_id="r")
