@@ -16,7 +16,7 @@ from .check import (
 )
 from .describe import describe, describe_by
 from .expr import ExprError, compile_expr, get_symbols, register_function
-from .filters import fail_predicate, filter_fails
+from .filters import fail_predicate, filter_fails, violation_examples
 from .io import read_rules, write_rules
 from .misc import detect_backend, has_pkg, plot_res, simple_table
 from .operators.vectors import register_vector_functions  # registers vec_* dialect fns
@@ -57,6 +57,7 @@ __all__ = [
     "uniqueness_violations",
     "CheckDataError",
     "filter_fails",
+    "violation_examples",
     "fail_predicate",
     "describe",
     "describe_by",

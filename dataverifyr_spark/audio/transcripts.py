@@ -48,6 +48,13 @@ def with_expected_transcript(
     contract, R/check_data.R:277-280) instead of silently vanishing from
     ``tests`` — at corpus scale, losing rows in an inner join is an
     undercount bug, not a validation outcome."""
+    if expected_col in clips.columns:
+        # an ambiguous column would surface later as AMBIGUOUS_REFERENCE
+        # inside rule compilation — fail here with an actionable message
+        raise ValueError(
+            f"clips already has a column named {expected_col!r}; "
+            "drop/rename it or pass a different expected_col"
+        )
     ref = expected.select(on, expected_col)
     return clips.join(ref, on=on, how="left")
 

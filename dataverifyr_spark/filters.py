@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .expr import col_ref
 from .rules import ReferenceRule, Rule, Ruleset, UniquenessRule
 
-__all__ = ["filter_fails", "fail_predicate"]
+__all__ = ["filter_fails", "fail_predicate", "violation_examples"]
 
 
 def fail_predicate(r: Rule) -> Column:
@@ -119,3 +119,43 @@ def filter_fails(
         .drop("__fails")
     )
     return tagged if tag else tagged.drop("failed_rule")
+
+
+def violation_examples(
+    res: DataFrame | Ruleset | Rule,
+    x: DataFrame,
+    k: int = 5,
+    order_by: list[str] | str | None = None,
+) -> DataFrame:
+    """At most ``k`` violation rows PER RULE — the triage shape at corpus
+    scale, where collecting the full violation set (possibly billions of
+    rows) is never the goal.
+
+    One tagged scan (``filter_fails`` combined mode) feeds a
+    ``row_number() <= k`` window keyed by ``failed_rule``; Spark executes
+    that as a WindowGroupLimit pre-limit, so every map task forwards at most
+    k rows per rule BEFORE the shuffle — the exchange carries
+    O(k × rules × partitions) rows, never the violation set (the same
+    bound describe_by's keyed most_frequent relies on).
+
+    ``order_by`` (column name(s)) makes the pick deterministic; it defaults
+    to all of ``x``'s columns in order, which is deterministic for any
+    duplicate-free frame.  Result: ``x``'s columns + ``failed_rule`` +
+    ``example_rank`` (1-based within each rule)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tagged = filter_fails(res, x, tag=True)
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    order_cols = [F.col(c) for c in (order_by or x.columns)]
+    rn = "__rn"
+    while rn in tagged.columns:  # collision-proof internal alias
+        rn = "_" + rn
+    w = Window.partitionBy("failed_rule").orderBy(*order_cols)
+    return (
+        tagged.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= k)
+        .withColumnRenamed(rn, "example_rank")
+    )

@@ -92,3 +92,67 @@ class TestFilterFails:
         rr2 = filter_fails(check_data(data, ok_rules), data)
         assert rr2.count() == 0
         assert rr2.columns == data.columns
+
+
+class TestViolationExamples:
+    def test_k_examples_per_rule_deterministic(self, spark):
+        import dataverifyr_spark as dv
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7), "A" if i % 3 else "X") for i in range(200)],
+            ["id", "v", "flag"],
+        )
+        rs = dv.ruleset(
+            dv.rule("v < 5", name="v_small"),
+            dv.rule("flag == 'A'", name="flag_a"),
+        )
+        ex = dv.violation_examples(rs, df, k=4, order_by="id").collect()
+        by_rule = {}
+        for r in ex:
+            by_rule.setdefault(r["failed_rule"], []).append(r)
+        assert set(by_rule) == {"v < 5", "flag == 'A'"}
+        for rows in by_rule.values():
+            assert len(rows) == 4
+            assert [r["example_rank"] for r in sorted(rows, key=lambda r: r["id"])] == [1, 2, 3, 4]
+        # deterministic first examples: smallest failing ids
+        v_ids = sorted(r["id"] for r in by_rule["v < 5"])
+        want = [i for i in range(200) if i % 7 >= 5][:4]
+        assert v_ids == want
+
+    def test_fewer_than_k_returns_all(self, spark):
+        import dataverifyr_spark as dv
+
+        df = spark.createDataFrame([(1, 10.0), (2, 1.0)], ["id", "v"])
+        ex = dv.violation_examples(dv.rule("v < 5", name="r"), df, k=5, order_by="id").collect()
+        assert len(ex) == 1 and ex[0]["id"] == 1 and ex[0]["example_rank"] == 1
+
+    def test_k_validation_and_alias_collision(self, spark):
+        import pytest as _pytest
+
+        import dataverifyr_spark as dv
+
+        df = spark.createDataFrame([(1, 10.0, "z")], ["id", "v", "__rn"])
+        with _pytest.raises(ValueError, match="k must be"):
+            dv.violation_examples(dv.rule("v < 5"), df, k=0)
+        ex = dv.violation_examples(dv.rule("v < 5", name="r"), df, k=2, order_by="id").collect()
+        assert len(ex) == 1 and ex[0]["example_rank"] == 1 and ex[0]["__rn"] == "z"
+
+    def test_window_group_limit_in_plan(self, spark, tmp_path):
+        """The per-rule cap must pre-limit on the map side: WindowGroupLimit
+        appears in the physical plan, bounding the exchange at
+        O(k x rules x partitions) instead of the violation count."""
+        import contextlib
+        import io
+
+        import dataverifyr_spark as dv
+
+        p = str(tmp_path / "d")
+        spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(1000)], ["id", "v"]
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        ex = dv.violation_examples(dv.rule("v < 5", name="r"), df, k=3, order_by="id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ex.explain(True)
+        assert "WindowGroupLimit" in buf.getvalue()

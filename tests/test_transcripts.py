@@ -220,3 +220,13 @@ class TestPlanShape:
         assert schemas, phys
         for ln in schemas:
             assert "bytes" not in ln, ln  # binary column pruned from every scan
+
+
+class TestJoinGuards:
+    def test_preexisting_expected_column_rejected(self, spark):
+        clips = transcript_clips_table(spark, 10).withColumn(
+            "expected_transcript", F.lit("x")
+        )
+        expected = transcript_expected_table(spark, 10)
+        with pytest.raises(ValueError, match="expected_transcript"):
+            with_expected_transcript(clips, expected)
