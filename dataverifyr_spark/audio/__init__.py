@@ -25,6 +25,7 @@ from .rules import (
     with_audio_features,
     with_audio_features_vs,
 )
+from .curate import curate_clips
 from .transcripts import transcript_ruleset, with_expected_transcript
 from .wav import WAV_CODECS, decode_wav, decode_wav_info, encode_wav, encode_wav_pcm16, snr_db
 
@@ -56,4 +57,5 @@ __all__ = [
     "transcript_expected_table",
     "transcript_ruleset",
     "with_expected_transcript",
+    "curate_clips",
 ]

@@ -1,0 +1,98 @@
+"""End-to-end corpus curation: validate → quality-gate → caption-dedup.
+
+The pipeline a training corpus actually runs before tokenization, composed
+from the engine's own pieces so every stage keeps its scale shape:
+
+1. ONE Arrow decode pass (``with_audio_features`` /
+   ``with_audio_features_vs``) turns binary clips into plain feature
+   columns — decode/SNR/transcript/quality rules all ride the same probe.
+2. The keep-filter is the conjunction of ``NOT fail_predicate(rule)`` over
+   the full ruleset — the exact guard algebra ``filter_fails`` uses
+   (R/filters.R:59-74), so curate-kept ∪ filter_fails-violations covers
+   every input row with no NULL-semantics gap between the two.
+3. Caption dedup drops repeated transcripts (the boilerplate-subtitle
+   problem) keeping one representative per fingerprint — a groupBy on the
+   md5 of the transcript, never shuffling audio bytes (the join back is a
+   left-semi on clip_id).
+
+Scale: stage 1 is a partition-local map; stage 2 fuses into the same scan;
+stage 3 shuffles ONLY (fingerprint, clip_id) pairs.  ``stats`` (opt-in)
+costs two extra count jobs over cached intermediates — skip it in
+production and read the counts from the validation ledger instead.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["curate_clips"]
+
+
+def curate_clips(
+    clips: DataFrame,
+    expected: DataFrame | None = None,
+    *,
+    min_snr_db: float = 30.0,
+    max_clip_ratio: float = 0.01,
+    max_abs_dc: float = 0.05,
+    min_rms: float = 0.05,
+    dedup_captions: bool = True,
+    keep_features: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Clips that survive full validation + quality gates + caption dedup.
+
+    ``expected``: a reference table (clip_id, expected_bytes,
+    expected_transcript) for corpora whose originals live in a table; when
+    None, expectations come from the deterministic generator (fixture
+    corpora).  ``keep_features=True`` retains the decoded ``audio_*``
+    columns for downstream stages (already paid for — re-deriving them
+    later costs a second decode pass)."""
+    from ..filters import fail_predicate
+    from ..rules import ruleset, rule
+    from .rules import with_audio_features, with_audio_features_vs
+
+    if expected is None:
+        feats = with_audio_features(clips)
+    else:
+        feats = with_audio_features_vs(clips, expected)
+
+    rules = ruleset(
+        rule("audio_valid", name="decodes"),
+        rule("audio_sr == sr_hz", name="sr_consistent"),
+        rule("abs(audio_dur_ms - dur_ms) <= 2", name="dur_consistent"),
+        rule(f"audio_snr_db >= {min_snr_db}", name="pcm_allclose_snr"),
+        rule("audio_transcript_ok", name="transcript_equal"),
+        rule("nchar(trimws(transcript)) > 0", name="transcript_nonempty"),
+        rule(f"audio_clip_ratio <= {max_clip_ratio}", name="not_clipped"),
+        rule(f"abs(audio_dc_offset) <= {max_abs_dc}", name="no_dc_offset"),
+        rule(f"audio_rms >= {min_rms}", name="rms_audible"),
+    )
+    keep = reduce(lambda a, b: a & b, (~fail_predicate(r) for r in rules))
+    clean = feats.filter(keep)
+    if not keep_features:
+        clean = clean.select(*clips.columns)
+
+    if stats is not None:
+        clean = clean.localCheckpoint(eager=True)
+        stats["input_rows"] = clips.count()
+        stats["validated_rows"] = clean.count()
+        stats["rules"] = [r.name for r in rules]
+
+    if dedup_captions:
+        from ..operators.dedup import exact_dup_groups
+
+        keep_ids = exact_dup_groups(
+            clean, text_col="transcript", id_col="clip_id"
+        ).select(F.col("keep_id").alias("clip_id"))
+        clean = clean.join(keep_ids, on="clip_id", how="left_semi")
+        if stats is not None:
+            stats["output_rows"] = clean.count()
+            stats["dup_captions_dropped"] = (
+                stats["validated_rows"] - stats["output_rows"]
+            )
+
+    return clean

@@ -392,17 +392,26 @@ def with_audio_features(
 # corpus against the originals
 _PROBE_VS_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "snr_db double, codec string"
+    "snr_db double, codec string, peak double, clip_ratio double, dc_offset double"
 )
 
 
 def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame:
-    out = {k: [] for k in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec")}
+    out = {
+        k: []
+        for k in (
+            "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
+            "peak", "clip_ratio", "dc_offset",
+        )
+    }
     for blob, ref_blob in zip(blobs, ref_blobs):
         d = _decode_info(blob)
         if d is None:
             out["valid"].append(False)
-            for k in ("n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
+            for k in (
+                "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
+                "peak", "clip_ratio", "dc_offset",
+            ):
                 out[k].append(None)
             continue
         samples, sr, codec = d
@@ -413,6 +422,16 @@ def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame
         out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
         x = samples.astype(np.float64) / 32767.0
         out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
+        # signal-quality trio: same definitions as the fixture probe
+        # (_audio_bytes_probe) so rules are spelling-identical on both paths
+        if len(x):
+            ax = np.abs(x)
+            out["peak"].append(float(ax.max()))
+            out["clip_ratio"].append(float((ax >= 0.999).mean()))
+            out["dc_offset"].append(float(x.mean()))
+        else:
+            for k in ("peak", "clip_ratio", "dc_offset"):
+                out[k].append(None)
         snr = None
         r = _decode(ref_blob)
         if r is not None:
@@ -462,7 +481,10 @@ def with_audio_features_vs(
     probe = cache["audio_probe_vs"]
     struct = probe(F.col(bytes_col), F.col(expected_bytes_col))
     out = joined.withColumn("__audio_probe", struct)
-    for field in ("valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec"):
+    for field in (
+        "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
+        "peak", "clip_ratio", "dc_offset",
+    ):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     t, e = F.col(transcript_col), F.col(expected_transcript_col)
     out = out.withColumn(

@@ -230,3 +230,51 @@ class TestJoinGuards:
         expected = transcript_expected_table(spark, 10)
         with pytest.raises(ValueError, match="expected_transcript"):
             with_expected_transcript(clips, expected)
+
+
+class TestCorpusCompositions:
+    def test_duplicate_captions_found_by_exact_dedup(self, spark):
+        """Text dedup machinery over the AUDIO corpus: captions reused
+        across clips (the boilerplate-subtitle problem) surface via the
+        fingerprint groupBy with transcript as the text column."""
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.operators.dedup import exact_dup_groups
+
+        clips = transcript_clips_table(spark, 200)
+        # duplicate the caption of clip 1 onto every 10th clip
+        dup = clips.withColumn(
+            "transcript",
+            F.when(
+                F.substring("clip_id", -4, 4).cast("int") % 10 == 0,
+                F.lit(rate_transcript(1)),
+            ).otherwise(F.col("transcript")),
+        ).filter(F.col("transcript").isNotNull())
+        groups = exact_dup_groups(dup, text_col="transcript", id_col="clip_id")
+        big = groups.filter("n_copies >= 20").collect()
+        # i=0,10,...,190 (20 recipients) + clip 1, the caption's own donor
+        assert len(big) == 1 and big[0]["n_copies"] == 21
+
+    def test_suggest_rules_on_input_hint_schema(self, spark):
+        """Rule induction straight over the north-rule clips table: the
+        induced set must carry the sr_hz value-set, dur_ms bounds, the
+        clip_id PK draft, and allow_na on the NULL-bearing transcript."""
+        import dataverifyr_spark as dv
+
+        clips = transcript_clips_table(spark, 300).drop("bytes")
+        rs = dv.suggest_rules(clips)
+        by_expr = {r.expr: r for r in rs}
+        # numeric columns induce bounds; the codec string induces a value set
+        assert any(e.startswith("sr_hz >= 8000") for e in by_expr), list(by_expr)
+        assert any(e.startswith("dur_ms >=") for e in by_expr)
+        assert any("codec %in%" in e for e in by_expr), list(by_expr)
+        from dataverifyr_spark.rules import UniquenessRule
+
+        assert any(
+            isinstance(r, UniquenessRule) and r.unique_cols == ("clip_id",) for r in rs
+        ) or any(
+            isinstance(r, UniquenessRule) and list(r.unique_cols) == ["clip_id"] for r in rs
+        )
+        # induced rules validate the trusted slice clean
+        res = dv.check_data(clips, rs)
+        assert all(r["fail"] == 0 for r in res.collect())
