@@ -306,6 +306,14 @@ def bench_queries(
         .collect(),
     )
 
+    # full curation pipeline end-to-end (r6): ONE decode probe -> 9-rule
+    # keep-filter -> caption exact-dedup -> count of the clean corpus.  The
+    # pipeline number is what a training-data ingest actually pays per
+    # corpus pass; only (fingerprint, clip_id) pairs shuffle.
+    from dataverifyr_spark.audio import curate_clips
+
+    run("curate_pipeline", lambda: curate_clips(clips).count())
+
     # video payload: Y4M header math + offset-seek frame sampling through the
     # same fused rule machinery (round 3)
     from dataverifyr_spark.operators.image import video_probe, videos_table
