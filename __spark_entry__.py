@@ -76,6 +76,65 @@ def q_check_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_data_by(li, rules, by="l_returnflag")
 
 
+def q_check_by_file_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE-FILE pass/fail summary (check_data_by_file, r6): lineitem
+    is re-written as a Hive-partitioned directory with exactly ONE parquet
+    file per l_returnflag (the key is repartition-hashed to a single
+    partition before the write), so the file-lineage summary has a
+    deterministic cross-engine truth: per-file counts == per-key counts.
+    Certifies input_file_name() stamped inside the scan feeding the same
+    grouped fused conditional-sum aggregate check_data_by uses — the
+    north_rule's "per-rule, per-partition pass/fail summary rows" with the
+    ledger's file-lineage unit.  Reference groups only by data columns
+    (R/check_data.R); file lineage is the graft's scale addition."""
+    import shutil
+    import tempfile
+
+    from dataverifyr_spark.check import check_data_by_file
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount", "l_returnflag")
+    rules = dv.ruleset(
+        dv.rule("l_quantity > 0 & l_quantity <= 30", name="q1"),
+        dv.rule("l_discount >= 0 & l_discount <= 0.05", name="q2"),
+    )
+    root = tempfile.mkdtemp(prefix="dvfy_byfile_gate_")
+    try:
+        path = os.path.join(root, "li")
+        li.repartition(4, "l_returnflag").write.partitionBy("l_returnflag").parquet(path)
+        back = spark.read.parquet(path)
+        res = check_data_by_file(back, rules, basename=False)
+        rows = [
+            (r["l_returnflag"], r["name"], r["tests"], r["pass"], r["fail"])
+            for r in res.withColumn(
+                "l_returnflag", F.regexp_extract("file", r"l_returnflag=([^/]+)", 1)
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, name string, tests bigint, pass bigint, fail bigint"
+    )
+
+
+def q_curate_clips_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (audio.curate_clips, r6): ONE Arrow decode
+    probe → 9-rule keep-filter (decode / sr / dur / SNR≥30dB / transcript
+    equality / non-emptiness / clipping / DC / audibility — filter_fails'
+    exact guard algebra, so kept ∪ violations covers every row) → caption
+    exact-dedup (md5 groupBy; only (fingerprint, clip_id) pairs shuffle).
+    The surviving clip_id set is pure cadence arithmetic over the generated
+    corpus (defect cadences %17 sr-lie, %23 dur-lie, %31 empty caption,
+    %37 NULL caption, %41 truncated container; the %29 codec-liar is NOT in
+    the curation ruleset; fixture captions are distinct at this n so dedup
+    drops nothing) — the oracle replicates it with generate_series.
+    Graft extension (reference R/ is tabular-only)."""
+    from dataverifyr_spark.audio import curate_clips
+    from dataverifyr_spark.audio.fixtures import clips_table
+
+    clips = clips_table(spark, 2000)
+    return curate_clips(clips).select("clip_id")
+
+
 def q_violations_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return dv.filter_fails(_CUSTOMER_RULES, cust, tag=True)
@@ -1571,6 +1630,8 @@ RETIRED_GATES: dict[str, str] = {
     "embedding_dedup_groups": "composition of near_dup_pairs_embeddings (gate) + connected_components (CC stage gated via near_dup_groups_documents; stress in tests/test_operators.py::TestConnectedComponentsStress); driver-green r04/r05; slot given to audio_dedup_pairs which drives the same embedding_near_dup_pairs operator (broadcast-UDF arm) end-to-end",
     "token_stats_documents": "whitespace arm of token_stats; driver-green r04/r05; bpe_token_stats_documents gates the same entrypoint's strictly stronger arm (trained merges + the whitespace pre-split), whitespace path stays green in tests/test_text.py; slot given to audio_quality_validate (clipping/DC/headroom/audibility rules, new probe fields)",
     "most_frequent_customer": "standalone top-n path; driver-green r04/r05; describe_by_most_frequent gates the strictly stronger keyed WindowGroupLimit variant and tests/test_describe.py keeps the standalone path green; slot given to transcript_validate (speaking-rate + levenshtein CER rules, new n_words/edit_distance dialect functions)",
+    "check_by_returnflag": "keyed fused-agg path; driver-green r01–r05; check_by_file_lineitem gates the strictly stronger variant (same grouped conditional-sum aggregate + input_file_name lineage through a Hive-partitioned write, per-file == per-key truth cross-engine); the plain keyed path stays green in tests/test_check_data.py and inside the audio_mixed_codec_validate / image_formats_validate gates (both run check_data_by)",
+    "stream_cumulative_events": "cumulative foreachBatch summary; driver-green r01–r05; covered by stream_windowed_events (same per-micro-batch rule aggregation, windowed) and stream_to_ledger_events (the cumulative bridge over the same incremental batches); stays green in tests/test_streaming.py; slot given to curate_clips_corpus (end-to-end decode→9-rule keep-filter→caption-dedup pipeline)",
 }
 
 
@@ -1581,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lead, then the r4-window returners, then the long-green rest.
     return {
         # -- never in a driver window before r6 --
+        "check_by_file_lineitem": q_check_by_file_lineitem,
+        "curate_clips_corpus": q_curate_clips_corpus,
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_recall_ivf": q_ann_recall_ivf,
         "ivf_pq_topk_embeddings": q_ivf_pq_topk_embeddings,
@@ -1601,7 +1664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_jsonl_events": q_sources_jsonl_events,
         # -- r5-window keepers --
         "check_lineitem": q_check_lineitem,
-        "check_by_returnflag": q_check_by_returnflag,
         "violations_customer": q_violations_customer,
         "reference_orders_customer": q_reference_orders_customer,
         "describe_customer": q_describe_customer,
@@ -1627,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_lineitem_vs_customer": q_schema_drift_lineitem_vs_customer,
         "reference_by_orderstatus": q_reference_by_orderstatus,
         "video_validate": q_video_validate,
-        "stream_cumulative_events": q_stream_cumulative_events,
         "ledger_resume_lineitem": q_ledger_resume_lineitem,
         "h264_validate": q_h264_validate,
         "mjpeg_validate": q_mjpeg_validate,
@@ -2582,6 +2643,29 @@ def oracle_sql() -> dict[str, str]:
     full = {
         "check_lineitem": check_lineitem,
         "check_by_returnflag": check_by,
+        # per-file summary: one parquet file per l_returnflag dir by
+        # construction, so per-file truth == per-key truth
+        "check_by_file_lineitem": """
+    SELECT l_returnflag, 'q1' AS name,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'q2' AS name,
+           CAST(COUNT(*) AS BIGINT) AS tests,
+           CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS "pass",
+           CAST(COUNT(*) - SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fail
+    FROM lineitem GROUP BY l_returnflag
+    """,
+        # curation survivor set = every clip no defect cadence hits (clip 0
+        # is always clean; the %29 codec-liar is not a curation rule)
+        "curate_clips_corpus": """
+    SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id
+    FROM generate_series(0, 1999) t(i)
+    WHERE i = 0 OR (i % 17 != 0 AND i % 23 != 0 AND i % 31 != 0
+                    AND i % 37 != 0 AND i % 41 != 0)
+    """,
         "most_frequent_customer": most_frequent,
         "most_frequent_fused_customer": most_frequent,
         "events_freshness": """

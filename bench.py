@@ -55,7 +55,12 @@ def make_spark(cores: int) -> SparkSession:
         app_name="dataverifyr-spark-bench",
         shuffle_partitions=max(cores, 8),
         spark_ui_enabled="false",
-        spark_driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # 48g of the box's 128 GiB: the 21-query suite caches lineitem x16,
+        # orders/docs/embeddings x16 AND four media corpora — at 16g the
+        # storage pool evicted lineitem partitions mid-run, so late-round
+        # lineitem queries silently re-paid the union+repartition shuffle
+        # (violations_tagged_scan 1.2 s isolated vs 3.3+ s in-suite, r6)
+        spark_driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     )
 
 
@@ -274,7 +279,15 @@ def bench_queries(
         with_expected_transcript,
     )
 
-    tclips = transcript_clips_table(spark, N_CLIPS, num_partitions=media_parts).cache()
+    # cache only the columns the transcript check reads — the WAV bytes
+    # never enter the plan, and the slim cache survives all timed rounds
+    # (an unpersist here would run at REGISTRATION time, before any timed
+    # round, silently re-running the 20k-clip generator every round)
+    tclips = (
+        transcript_clips_table(spark, N_CLIPS, num_partitions=media_parts)
+        .select("clip_id", "dur_ms", "transcript")
+        .cache()
+    )
     tclips.count()
     texp = transcript_expected_table(spark, N_CLIPS, num_partitions=media_parts).cache()
     texp.count()
@@ -284,8 +297,6 @@ def bench_queries(
             with_expected_transcript(tclips, texp), transcript_ruleset()
         ).collect(),
     )
-    tclips.unpersist()
-    texp.unpersist()
 
     # cross-codec audio dedup FINGERPRINT throughput (r6): one Arrow decode
     # + rfft + 512-bin profile per clip — the dominant per-clip cost of

@@ -11,6 +11,7 @@ from .check import (
     CheckDataError,
     check_data,
     check_data_by,
+    check_data_by_file,
     reference_violations,
     uniqueness_violations,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "DataColumn",
     "check_data",
     "check_data_by",
+    "check_data_by_file",
     "reference_violations",
     "uniqueness_violations",
     "CheckDataError",

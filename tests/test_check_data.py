@@ -446,3 +446,92 @@ class TestUniquenessRule:
             [(i if i else 1, "x") for i in range(300)], "id int, pad string"
         )
         assert "unique_id" not in [r.name for r in suggest_rules(near)]
+
+
+class TestCheckDataByFile:
+    """Per-source-file summary (north_rule: per-partition pass/fail rows
+    with file lineage — the ledger's resume unit, exposed as a summary)."""
+
+    @pytest.fixture(scope="class")
+    def parts_dir(self, spark, tmp_path_factory):
+        # 3 Hive partition dirs, exactly ONE parquet file per key (the key
+        # is repartition-hashed to a single partition before the write)
+        root = str(tmp_path_factory.mktemp("byfile") / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3, float(i % 7)) for i in range(90)],
+            "id int, k int, v double",
+        )
+        df.repartition(4, "k").write.partitionBy("k").parquet(root)
+        return root
+
+    def test_per_file_sums_to_global(self, spark, parts_dir):
+        from dataverifyr_spark.check import check_data_by_file
+
+        back = spark.read.parquet(parts_dir)
+        rs = ruleset(rule("v < 5", name="v_lt_5"), rule("id >= 0", name="id_nonneg"))
+        per_file = check_data_by_file(back, rs)
+        rows = per_file.collect()
+        # one file per key x 2 rules; default keeps the full (unique) URI —
+        # basenames repeat across Hive partition dirs and would merge rows
+        assert len(rows) == 6
+        assert all("/" in r["file"] and r["file"].endswith(".parquet") for r in rows)
+        glob = {r["name"]: r for r in check_data(back, rs).collect()}
+        for name in ("v_lt_5", "id_nonneg"):
+            mine = [r for r in rows if r["name"] == name]
+            assert sum(r["tests"] for r in mine) == glob[name]["tests"]
+            assert sum(r["pass"] for r in mine) == glob[name]["pass"]
+            assert sum(r["fail"] for r in mine) == glob[name]["fail"]
+
+    def test_full_uri_preserves_partition_dirs(self, spark, parts_dir):
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.check import check_data_by_file
+
+        back = spark.read.parquet(parts_dir)
+        res = check_data_by_file(back, ruleset(rule("v < 5", name="v_lt_5")), basename=False)
+        keyed = {
+            int(r["k"]): (r["tests"], r["pass"])
+            for r in res.withColumn(
+                "k", F.regexp_extract("file", r"k=(\d+)", 1)
+            ).collect()
+        }
+        # per-file == per-key truth: k in {0,1,2}, 30 rows each; v = i%7 < 5
+        assert set(keyed) == {0, 1, 2}
+        for k, (tests, npass) in keyed.items():
+            assert tests == 30
+            want = sum(1 for i in range(90) if i % 3 == k and i % 7 < 5)
+            assert npass == want
+
+    def test_basename_merges_across_partition_dirs(self, spark, parts_dir):
+        # the documented hazard: the same write task emits identically-named
+        # part files into different key=value/ dirs, so basename mode
+        # merges them — counts still sum correctly, rows just coarsen
+        from dataverifyr_spark.check import check_data_by_file
+
+        back = spark.read.parquet(parts_dir)
+        rows = check_data_by_file(
+            back, ruleset(rule("v < 5", name="v_lt_5")), basename=True
+        ).collect()
+        assert len(rows) < 3  # fewer summary rows than the 3 real files
+        assert sum(r["tests"] for r in rows) == 90
+
+    def test_non_file_source_raises(self, spark):
+        from dataverifyr_spark.check import check_data_by_file
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError, match="file-backed"):
+            check_data_by_file(df, ruleset(rule("id > 0")))
+
+    def test_file_col_collision_raises(self, spark, parts_dir):
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.check import check_data_by_file
+
+        back = spark.read.parquet(parts_dir).withColumn("file", F.lit("x"))
+        with pytest.raises(ValueError, match="collides"):
+            check_data_by_file(back, ruleset(rule("v < 5")))
+        # and the escape hatch works
+        ok = check_data_by_file(
+            back, ruleset(rule("v < 5", name="r")), file_col="src_file"
+        )
+        assert ok.columns[0] == "src_file" and ok.count() == 3
