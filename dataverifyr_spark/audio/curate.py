@@ -13,7 +13,10 @@ from the engine's own pieces so every stage keeps its scale shape:
 3. Caption dedup drops repeated transcripts (the boilerplate-subtitle
    problem) keeping one representative per fingerprint — a groupBy on the
    md5 of the transcript, never shuffling audio bytes (the join back is a
-   left-semi on clip_id).
+   left-semi on clip_id).  ``dedup_captions="near"`` upgrades the stage to
+   MinHash+banded-LSH near-dup (``operators.components.near_dup_groups``)
+   for boilerplate with small edits — same capped band join as the
+   documents corpus, still only (clip_id, caption) pairs shuffle.
 
 Scale: stage 1 is a partition-local map; stage 2 fuses into the same scan;
 stage 3 shuffles ONLY (fingerprint, clip_id) pairs.  ``stats`` (opt-in)
@@ -39,7 +42,8 @@ def curate_clips(
     max_clip_ratio: float = 0.01,
     max_abs_dc: float = 0.05,
     min_rms: float = 0.05,
-    dedup_captions: bool = True,
+    dedup_captions: bool | str = True,
+    near_jaccard: float = 0.8,
     keep_features: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -81,17 +85,48 @@ def curate_clips(
         stats["rules"] = [r.name for r in rules]
 
     if dedup_captions:
-        from ..operators.dedup import exact_dup_groups
-
+        if dedup_captions not in (True, "exact", "near"):
+            raise ValueError(
+                f"dedup_captions must be True/'exact', 'near' or False, got {dedup_captions!r}"
+            )
         # Winner ids come from a (clip_id, transcript) PROJECTION of the
         # survivors, and the final corpus is the ORIGINAL frame semi-joined
         # to them — the winner set already encodes the keep-filter, so the
         # decode probe runs exactly ONCE on the default path (joining
         # `clean` to itself would re-decode every clip on the join's other
         # side: measured 2x the whole pipeline cost at 20k clips).
-        keep_ids = exact_dup_groups(
-            clean.select("clip_id", "transcript"), text_col="transcript", id_col="clip_id"
-        ).select(F.col("keep_id").alias("clip_id"))
+        survivors = clean.select("clip_id", "transcript")
+        if dedup_captions == "near":
+            # boilerplate subtitles with one-word edits: MinHash+banded-LSH
+            # near-dup through the documents machinery (word-shingle
+            # Jaccard, capped band join, CC groups — never an all-pairs
+            # stage); min clip_id per component survives
+            from ..operators.components import near_dup_groups
+
+            if stats is None:
+                # near_dup_groups references its input 4x (signatures, two
+                # pair-enrichment joins, the id spine) — materialize the
+                # (clip_id, transcript) survivors once so the decode probe
+                # is not re-run per reference (with stats, `clean` is
+                # already checkpointed above)
+                survivors = survivors.localCheckpoint(eager=True)
+            keep_ids = (
+                near_dup_groups(
+                    survivors,
+                    text_col="transcript",
+                    id_col="clip_id",
+                    jaccard_threshold=near_jaccard,
+                    stats=stats,
+                )
+                .filter(F.col("is_kept"))
+                .select("clip_id")
+            )
+        else:
+            from ..operators.dedup import exact_dup_groups
+
+            keep_ids = exact_dup_groups(
+                survivors, text_col="transcript", id_col="clip_id"
+            ).select(F.col("keep_id").alias("clip_id"))
         # keep_features pays a second probe pass by design (the features
         # ARE the output); with stats the checkpoint already materialized it
         out = (clean if keep_features else clips).join(

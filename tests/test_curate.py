@@ -102,3 +102,89 @@ class TestVsProbeQualityParity:
             .collect()
         }
         assert a == b
+
+
+class TestCurateSingleDecode:
+    def test_default_path_decodes_once(self, spark):
+        """The r6 rewrite's contract: on the default path (no keep_features,
+        no stats) the physical plan contains exactly ONE ArrowEvalPython
+        node — the winner-id side of the caption-dedup semi-join is the only
+        branch that decodes; the output side is the original frame, bytes
+        never decoded twice."""
+        import contextlib
+        import io
+
+        out = curate_clips(clips_table(spark, 60))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        arrow_lines = [ln for ln in phys.splitlines() if "ArrowEvalPython" in ln]
+        assert len(arrow_lines) == 1, phys
+
+    def test_keep_features_path_matches_default_ids(self, spark):
+        a = sorted(r["clip_id"] for r in curate_clips(clips_table(spark, 150)).collect())
+        b = sorted(
+            r["clip_id"]
+            for r in curate_clips(clips_table(spark, 150), keep_features=True).collect()
+        )
+        assert a == b
+
+
+class TestCurateNearDedup:
+    def test_near_mode_collapses_edited_boilerplate(self, spark):
+        """One-word edits defeat exact dedup but not the near mode: clips
+        whose captions are the SAME 12-word boilerplate with word i swapped
+        collapse to one representative under dedup_captions='near'."""
+        n = 80
+        # 40-word boilerplate: a ONE-word tail edit keeps word-3-shingle
+        # Jaccard at 36/42 = 0.857 >= the 0.8 threshold (a short caption
+        # would fall to ~0.57 and near-dup would correctly NOT merge it)
+        base = " ".join(f"w{j}" for j in range(40))
+        clips = clips_table(spark, n)
+        exp = expected_table(spark, n)
+        # every 4th clip: boilerplate with ONE word personalized (high
+        # Jaccard vs siblings); others keep their natural distinct captions
+        edited = F.concat(
+            F.lit(base + " v"),
+            (F.substring("clip_id", -4, 4).cast("int") % 3).cast("string"),
+        )
+        cond = F.substring("clip_id", -4, 4).cast("int") % 4 == 0
+        boiler = clips.withColumn(
+            "transcript", F.when(cond, edited).otherwise(F.col("transcript"))
+        )
+        expb = exp.withColumn(
+            "expected_transcript",
+            F.when(
+                F.substring("clip_id", -4, 4).cast("int") % 4 == 0,
+                F.concat(
+                    F.lit(base + " v"),
+                    (F.substring("clip_id", -4, 4).cast("int") % 3).cast("string"),
+                ),
+            ).otherwise(F.col("expected_transcript")),
+        )
+        survivors = [i for i in range(n) if i % 4 == 0 and _survives(i)]
+        exact_kept = {
+            r["clip_id"]
+            for r in curate_clips(boiler, expected=expb, dedup_captions="exact")
+            .select("clip_id")
+            .collect()
+        }
+        near_kept = {
+            r["clip_id"]
+            for r in curate_clips(boiler, expected=expb, dedup_captions="near")
+            .select("clip_id")
+            .collect()
+        }
+        # exact mode: 3 caption variants (v0/v1/v2) -> 3 boilerplate reps
+        assert sum(1 for i in survivors if f"clip-{i:012d}" in exact_kept) == 3
+        # near mode: variants share 11/13 words -> ONE representative
+        assert sum(1 for i in survivors if f"clip-{i:012d}" in near_kept) == 1
+        # non-boilerplate survivors unaffected in both modes
+        for i in range(n):
+            if i % 4 != 0 and _survives(i):
+                assert f"clip-{i:012d}" in near_kept
+
+    def test_bad_mode_raises(self, spark):
+        with pytest.raises(ValueError, match="dedup_captions"):
+            curate_clips(clips_table(spark, 10), dedup_captions="fuzzy")
