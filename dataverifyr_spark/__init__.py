@@ -15,7 +15,7 @@ from .check import (
     reference_violations,
     uniqueness_violations,
 )
-from .describe import describe, describe_by
+from .describe import describe, describe_by, describe_by_file
 from .expr import ExprError, compile_expr, get_symbols, register_function
 from .filters import fail_predicate, filter_fails, violation_examples
 from .io import read_rules, write_rules
@@ -63,6 +63,7 @@ __all__ = [
     "fail_predicate",
     "describe",
     "describe_by",
+    "describe_by_file",
     "read_rules",
     "write_rules",
     "detect_backend",

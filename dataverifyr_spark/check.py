@@ -851,9 +851,18 @@ def check_data_by_file(
     tests/test_check_data.py::TestCheckDataByFile).  Non-file sources raise
     (same driver-only guard as ``ValidationLedger.run_incremental``).
     """
+    stamped = stamp_file_col(df, file_col, basename, caller="check_data_by_file")
+    return check_data_by(stamped, rules, by=file_col, datasets=datasets)
+
+
+def stamp_file_col(df: DataFrame, file_col: str, basename: bool, caller: str) -> DataFrame:
+    """Shared file-lineage stamp for the ``*_by_file`` summaries: adds
+    ``input_file_name()`` (optionally reduced to the basename — see the
+    uniqueness caveat in :func:`check_data_by_file`) inside the scan, with
+    the driver-only non-file-source and column-collision guards."""
     if not df.inputFiles():
         raise ValueError(
-            "check_data_by_file requires a file-backed DataFrame "
+            f"{caller} requires a file-backed DataFrame "
             "(df.inputFiles() is empty — input_file_name() would be '')"
         )
     if file_col in df.columns:
@@ -864,7 +873,7 @@ def check_data_by_file(
     src = F.input_file_name()
     if basename:
         src = F.regexp_extract(src, r"([^/]+)$", 1)
-    return check_data_by(df.withColumn(file_col, src), rules, by=file_col, datasets=datasets)
+    return df.withColumn(file_col, src)
 
 
 def combined_fail_predicate(rules: Ruleset) -> Column:

@@ -496,3 +496,38 @@ def _most_frequent_fused(
             disp = v
         out.setdefault(r["var"], []).append(f"{disp} ({r['c']})")
     return {var: ", ".join(parts) for var, parts in out.items()}
+
+
+def describe_by_file(
+    df: DataFrame,
+    *,
+    file_col: str = "file",
+    basename: bool = False,
+    approx: bool = False,
+    fast: bool = False,
+    top_n: int = 0,
+    digits: int = 4,
+    skip_ones: bool = True,
+) -> DataFrame:
+    """Per-SOURCE-FILE :func:`describe_by` — the profiling analog of
+    ``check.check_data_by_file`` (same ``input_file_name()`` stamp inside
+    the scan, same non-file-source / column-collision guards, same full-URI
+    default — part-file basenames repeat across Hive partition dirs).
+
+    One grouped aggregate profiles every column of every file in a single
+    shuffle: the shape that answers "which ingest shard's value
+    distribution went sideways" without a per-file driver loop.  Use
+    ``approx=True`` at corpus scale (KLL median + HLL distinct, same
+    sketches as :func:`describe`)."""
+    from .check import stamp_file_col
+
+    stamped = stamp_file_col(df, file_col, basename, caller="describe_by_file")
+    return describe_by(
+        stamped,
+        by=file_col,
+        approx=approx,
+        fast=fast,
+        top_n=top_n,
+        digits=digits,
+        skip_ones=skip_ones,
+    )

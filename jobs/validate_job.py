@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--part-col", default=None, help="partition column for ledger + resume")
     p.add_argument("--run-id", default=None)
     p.add_argument("--audio", action="store_true", help="add decoded audio feature columns first")
+    p.add_argument("--by-file", action="store_true",
+                   help="also write per-source-file summary rows (check_data_by_file)")
     p.add_argument("--ref", action="append", default=[], metavar="NAME=PATH",
                    help="reference dataset for reference_rules (repeatable)")
     p.add_argument("--stop-on-fail", action="store_true")
@@ -64,6 +66,17 @@ def main(argv: list[str] | None = None) -> int:
 
     violations = filter_fails(rules, df, tag=True)
     write_violations(violations, f"{args.out}/violations", run_id=run_id)
+
+    if args.by_file:
+        # shard-level lineage: one row per (source file x rule) — joins
+        # against the ingest manifest to locate the bad shard.  Runs on the
+        # same (possibly probe-widened) frame as the global check: the
+        # probe is a projection, so input_file_name() still resolves.
+        from dataverifyr_spark import check_data_by_file
+
+        refs = {k: v for k, v in datasets.items() if k != "data"}
+        per_file = check_data_by_file(df, rules, datasets=refs or None)
+        write_summary(per_file, f"{args.out}/summary_by_file", run_id=run_id)
 
     if args.part_col:
         ledger = ValidationLedger(spark, f"{args.out}/ledger")

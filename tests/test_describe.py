@@ -346,3 +346,46 @@ class TestMostFrequentByPlanShape:
         assert "Expand" not in phys, phys
         # the top-n is pre-limited before the shuffle (WindowGroupLimit)
         assert "WindowGroupLimit" in phys
+
+
+class TestDescribeByFile:
+    def test_per_file_profile_matches_per_key(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark import describe_by_file
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(40)], "id int, k int, v double"
+        )
+        df.repartition(2, "k").write.partitionBy("k").parquet(root)
+        back = spark.read.parquet(root)
+        got = describe_by_file(back)
+        # file col first, then the describe_by schema
+        assert got.columns[0] == "file"
+        rows = got.withColumn(
+            "k", F.regexp_extract("file", r"k=(\d+)", 1).cast("int")
+        ).collect()
+        mine = {(r["k"], r["var"]): (r["n"], r["n_na"], r["mean"]) for r in rows}
+        # 2 files x 3 profiled vars (id, v, and the partition column k read
+        # back from the directory name)
+        assert len(mine) == 6
+        import statistics
+
+        for (k, var), (n, n_na, mean) in mine.items():
+            assert n == 20 and n_na == 0
+            want = (
+                float(k)
+                if var == "k"
+                else statistics.mean(float(i) for i in range(40) if i % 2 == k)
+            )
+            assert abs(mean - want) < 1e-9, (k, var)
+
+    def test_non_file_source_raises(self, spark):
+        import pytest as _pytest
+
+        from dataverifyr_spark import describe_by_file
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with _pytest.raises(ValueError, match="file-backed"):
+            describe_by_file(df)

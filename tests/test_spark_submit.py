@@ -57,6 +57,7 @@ class TestSparkSubmitLaunch:
                     "--out", str(out),
                     "--part-col", "l_returnflag",
                     "--run-id", "submit-test",
+                    "--by-file",
                 ],
                 capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
             )
@@ -68,6 +69,15 @@ class TestSparkSubmitLaunch:
         # summary + tagged violations landed as parquet
         assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(out / "summary") for f in fs)
         assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(out / "violations") for f in fs)
+        # per-source-file summary (--by-file): single input file x 2 rules,
+        # every row carrying the full file URI and the whole table's count
+        import duckdb
+
+        by_file = duckdb.sql(
+            f"SELECT file, name, tests FROM '{out}/summary_by_file/*.parquet'"
+        ).fetchall()
+        assert len(by_file) == 2 and {r[1] for r in by_file} == {"qty_pos", "qty_cap"}
+        assert all(r[0].endswith("lineitem.parquet") and r[2] == 6000 for r in by_file)
 
         # resume: same run-id → ledger reports nothing pending
         r2 = submit()
