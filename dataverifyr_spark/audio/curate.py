@@ -89,6 +89,10 @@ def curate_clips(
             raise ValueError(
                 f"dedup_captions must be True/'exact', 'near' or False, got {dedup_captions!r}"
             )
+        if not 0.0 < near_jaccard <= 1.0:
+            # 0 would merge every LSH candidate pair (one giant component);
+            # >1 silently disables the stage — both are configuration bugs
+            raise ValueError(f"near_jaccard must be in (0, 1], got {near_jaccard}")
         # Winner ids come from a (clip_id, transcript) PROJECTION of the
         # survivors, and the final corpus is the ORIGINAL frame semi-joined
         # to them — the winner set already encodes the keep-filter, so the

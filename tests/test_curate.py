@@ -188,3 +188,7 @@ class TestCurateNearDedup:
     def test_bad_mode_raises(self, spark):
         with pytest.raises(ValueError, match="dedup_captions"):
             curate_clips(clips_table(spark, 10), dedup_captions="fuzzy")
+
+    def test_bad_near_jaccard_raises(self, spark):
+        with pytest.raises(ValueError, match="near_jaccard"):
+            curate_clips(clips_table(spark, 10), dedup_captions="near", near_jaccard=0.0)
