@@ -108,6 +108,34 @@ def _spectral(x: np.ndarray, sr: int) -> tuple[float, float]:
     return dom, centroid
 
 
+def _signal_quality(x: np.ndarray, sr) -> tuple:
+    """peak / clip_ratio / dc_offset / silence_ratio from ONE normalized
+    buffer (full-scale int16 == 1.0) — shared by all three probe paths so
+    the quality rules are value-identical everywhere.  silence_ratio =
+    fraction of 20 ms frames whose RMS is under 0.01 (−40 dBFS): dead-air
+    detection a clip-level RMS cannot see (one loud pop makes an otherwise
+    silent clip pass `audio_rms >= 0.05`).  Semantics pinned by
+    tests/test_audio.py since r2 (20 ms frames, trailing partial frame
+    ignored, clip shorter than one frame counts fully silent) — r6 moved
+    the computation from a standalone second-decode UDF onto this shared
+    probe, values unchanged."""
+    ax = np.abs(x)
+    peak = float(ax.max())
+    clip_ratio = float((ax >= 0.999).mean())
+    dc = float(x.mean())
+    if not sr:
+        return peak, clip_ratio, dc, None
+    frame = max(1, int(sr * 0.02))
+    n = (len(x) // frame) * frame
+    if n == 0:
+        sil = 1.0
+    else:
+        frames = x[:n].reshape(-1, frame)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        sil = float((rms < 0.01).mean())
+    return peak, clip_ratio, dc, sil
+
+
 def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     """All cheap bytes-derived features from ONE decode per clip (the shared
     probe every bytes-family dialect function compiles onto).  Spectral
@@ -115,7 +143,7 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
     them never pay the per-clip rfft."""
     keys = (
         "valid", "n_samples", "sr", "dur_ms", "rms", "codec",
-        "peak", "clip_ratio", "dc_offset",
+        "peak", "clip_ratio", "dc_offset", "silence_ratio",
     )
     out = {k: [] for k in keys}
     for b in blobs:
@@ -141,19 +169,21 @@ def _audio_bytes_probe_impl(blobs: pd.Series) -> pd.DataFrame:
             # headroom.  Marginal cost ~3 vector folds per clip, zero extra
             # decode — every quality rule fuses onto this one probe.
             xf = samples.astype(np.float64) / 32767.0
-            ax = np.abs(xf)
-            out["peak"].append(float(ax.max()))
-            out["clip_ratio"].append(float((ax >= 0.999).mean()))
-            out["dc_offset"].append(float(xf.mean()))
+            peak, clip_ratio, dc, sil = _signal_quality(xf, sr)
+            out["peak"].append(peak)
+            out["clip_ratio"].append(clip_ratio)
+            out["dc_offset"].append(dc)
+            out["silence_ratio"].append(sil)
         else:
-            for k in ("rms", "peak", "clip_ratio", "dc_offset"):
+            for k in ("rms", "peak", "clip_ratio", "dc_offset", "silence_ratio"):
                 out[k].append(None)
     return pd.DataFrame(out)
 
 
 _BYTES_PROBE_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "codec string, peak double, clip_ratio double, dc_offset double"
+    "codec string, peak double, clip_ratio double, dc_offset double, "
+    "silence_ratio double"
 )
 
 
@@ -194,6 +224,7 @@ _PROBE_FIELDS = {
     "audio_peak": "peak",  # max |sample| with full-scale int16 == 1.0
     "audio_clip_ratio": "clip_ratio",  # fraction of samples at >=0.999 full scale
     "audio_dc_offset": "dc_offset",  # mean normalized sample (DC bias)
+    "audio_silence_ratio": "silence_ratio",  # fraction of 100ms windows under -40 dBFS
 }
 
 # spectral family: same field-of-shared-probe compilation, separate probe UDF
@@ -298,7 +329,7 @@ register_audio_functions()
 _PROBE_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
     "snr_db double, transcript_ok boolean, codec string, "
-    "peak double, clip_ratio double, dc_offset double"
+    "peak double, clip_ratio double, dc_offset double, silence_ratio double"
 )
 
 
@@ -311,7 +342,7 @@ def _audio_probe_impl(
         k: []
         for k in (
             "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok",
-            "codec", "peak", "clip_ratio", "dc_offset",
+            "codec", "peak", "clip_ratio", "dc_offset", "silence_ratio",
         )
     }
     for cid, blob, tr in zip(clip_ids, blobs, transcripts):
@@ -320,7 +351,7 @@ def _audio_probe_impl(
             out["valid"].append(False)
             for k in (
                 "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
-                "peak", "clip_ratio", "dc_offset",
+                "peak", "clip_ratio", "dc_offset", "silence_ratio",
             ):
                 out[k].append(None)
         else:
@@ -333,12 +364,13 @@ def _audio_probe_impl(
             x = samples.astype(np.float64) / 32767.0
             out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
             if len(x):
-                ax = np.abs(x)
-                out["peak"].append(float(ax.max()))
-                out["clip_ratio"].append(float((ax >= 0.999).mean()))
-                out["dc_offset"].append(float(x.mean()))
+                peak, clip_ratio, dc, sil = _signal_quality(x, sr)
+                out["peak"].append(peak)
+                out["clip_ratio"].append(clip_ratio)
+                out["dc_offset"].append(dc)
+                out["silence_ratio"].append(sil)
             else:
-                for k in ("peak", "clip_ratio", "dc_offset"):
+                for k in ("peak", "clip_ratio", "dc_offset", "silence_ratio"):
                     out[k].append(None)
             snr = None
             if cid is not None:
@@ -380,7 +412,7 @@ def with_audio_features(
     out = df.withColumn("__audio_probe", struct)
     for field in (
         "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "transcript_ok",
-        "codec", "peak", "clip_ratio", "dc_offset",
+        "codec", "peak", "clip_ratio", "dc_offset", "silence_ratio",
     ):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     return out.drop("__audio_probe")
@@ -392,7 +424,8 @@ def with_audio_features(
 # corpus against the originals
 _PROBE_VS_TYPE = (
     "valid boolean, n_samples bigint, sr int, dur_ms double, rms double, "
-    "snr_db double, codec string, peak double, clip_ratio double, dc_offset double"
+    "snr_db double, codec string, peak double, clip_ratio double, "
+    "dc_offset double, silence_ratio double"
 )
 
 
@@ -401,7 +434,7 @@ def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame
         k: []
         for k in (
             "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
-            "peak", "clip_ratio", "dc_offset",
+            "peak", "clip_ratio", "dc_offset", "silence_ratio",
         )
     }
     for blob, ref_blob in zip(blobs, ref_blobs):
@@ -410,7 +443,7 @@ def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame
             out["valid"].append(False)
             for k in (
                 "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
-                "peak", "clip_ratio", "dc_offset",
+                "peak", "clip_ratio", "dc_offset", "silence_ratio",
             ):
                 out[k].append(None)
             continue
@@ -422,15 +455,16 @@ def _audio_probe_vs_impl(blobs: pd.Series, ref_blobs: pd.Series) -> pd.DataFrame
         out["dur_ms"].append(len(samples) / sr * 1000.0 if sr else None)
         x = samples.astype(np.float64) / 32767.0
         out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else None)
-        # signal-quality trio: same definitions as the fixture probe
-        # (_audio_bytes_probe) so rules are spelling-identical on both paths
+        # signal-quality quartet: _signal_quality is shared with the fixture
+        # probe (_audio_bytes_probe) so rules are value-identical on both paths
         if len(x):
-            ax = np.abs(x)
-            out["peak"].append(float(ax.max()))
-            out["clip_ratio"].append(float((ax >= 0.999).mean()))
-            out["dc_offset"].append(float(x.mean()))
+            peak, clip_ratio, dc, sil = _signal_quality(x, sr)
+            out["peak"].append(peak)
+            out["clip_ratio"].append(clip_ratio)
+            out["dc_offset"].append(dc)
+            out["silence_ratio"].append(sil)
         else:
-            for k in ("peak", "clip_ratio", "dc_offset"):
+            for k in ("peak", "clip_ratio", "dc_offset", "silence_ratio"):
                 out[k].append(None)
         snr = None
         r = _decode(ref_blob)
@@ -483,7 +517,7 @@ def with_audio_features_vs(
     out = joined.withColumn("__audio_probe", struct)
     for field in (
         "valid", "n_samples", "sr", "dur_ms", "rms", "snr_db", "codec",
-        "peak", "clip_ratio", "dc_offset",
+        "peak", "clip_ratio", "dc_offset", "silence_ratio",
     ):
         out = out.withColumn(f"{prefix}{field}", F.col(f"__audio_probe.{field}"))
     t, e = F.col(transcript_col), F.col(expected_transcript_col)
@@ -520,6 +554,7 @@ def audio_quality_ruleset(
     max_abs_dc: float = 0.05,
     max_peak: float = 0.999,
     min_rms: float = 0.05,
+    max_silence_ratio: float | None = None,
 ):
     """Signal-quality rules over the raw bytes dialect (no feature join
     needed): hard-clipping, DC bias, peak headroom and audibility — the
@@ -531,41 +566,28 @@ def audio_quality_ruleset(
     reference's NA-fails contract (R/check_data.R:277-280)."""
     from ..rules import rule, ruleset
 
-    return ruleset(
+    rules = [
         rule("audio_valid(bytes)", name="decodes"),
         rule(f"audio_clip_ratio(bytes) <= {max_clip_ratio}", name="not_clipped"),
         rule(f"abs(audio_dc_offset(bytes)) <= {max_abs_dc}", name="no_dc_offset"),
         rule(f"audio_peak(bytes) <= {max_peak}", name="peak_in_range"),
         rule(f"audio_rms(bytes) >= {min_rms}", name="rms_audible"),
-    )
+    ]
+    if max_silence_ratio is not None:
+        # opt-in so default cadences (and the audio_quality_validate gate's
+        # oracle) are unchanged; another field of the SAME probe — still one
+        # ArrowEvalPython for the whole bundle
+        rules.append(
+            rule(f"audio_silence_ratio(bytes) <= {max_silence_ratio}", name="no_dead_air")
+        )
+    return ruleset(*rules)
 
 
-def _audio_silence_ratio_impl(blobs: pd.Series) -> pd.Series:
-    """Fraction of 20ms frames whose RMS is below 1% full scale — a cheap
-    quality signal (dead air, truncated recordings).  Frame analysis is the
-    audio analog of video frame-sampling: windowed numpy, no Python loop
-    over samples."""
-
-    def f(b):
-        d = _decode(b)
-        if d is None:
-            return None
-        samples, sr = d
-        frame = max(int(sr * 0.02), 1)
-        n = (len(samples) // frame) * frame
-        if n == 0:
-            return 1.0
-        x = (samples[:n].astype(np.float64) / 32767.0).reshape(-1, frame)
-        rms = np.sqrt((x * x).mean(axis=1))
-        return float((rms < 0.01).mean())
-
-    return blobs.map(f)
-
-
-_UDFS["audio_silence_ratio"] = (_audio_silence_ratio_impl, "double", 1)
-
-# re-register: the silence-ratio entry was added after the import-time call
-register_audio_functions()
+# (r6) audio_silence_ratio used to be a standalone UDF here with its own
+# decode pass; it is now the `silence_ratio` field of the shared bytes
+# probe (_signal_quality), so mixing it with any other audio rule costs
+# zero extra decodes.  Same 20ms/-40dBFS definition, pinned by
+# tests/test_audio.py.
 
 
 # ---------------------------------------------------------------------------

@@ -202,11 +202,13 @@ class TestSilenceRatio:
             ("c", bytearray(encode_wav_pcm16(np.zeros(sr), sr))),
         ]
         df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+        # r6: silence_ratio is a field of the shared bytes probe (no
+        # standalone UDF — zero extra decodes next to other audio rules)
         res = {r["clip_id"]: r["sil"] for r in df.select(
             "clip_id",
             __import__("dataverifyr_spark.audio.rules", fromlist=["_get_udf"])._get_udf(
-                "audio_silence_ratio"
-            )("bytes").alias("sil"),
+                "audio_bytes_probe"
+            )("bytes").getField("silence_ratio").alias("sil"),
         ).collect()}
         assert res["a"] < 0.05
         assert 0.4 < res["b"] < 0.6

@@ -188,3 +188,57 @@ class TestQualityCheckData:
         arrow_lines = [ln for ln in phys.splitlines() if "ArrowEvalPython" in ln]
         assert len(arrow_lines) == 1, phys
         assert arrow_lines[0].count("_audio_bytes_probe") == 1, arrow_lines[0]
+
+
+class TestSilenceRatioOnProbe:
+    """r6 consolidation: audio_silence_ratio is a field of the shared bytes
+    probe (the old standalone UDF cost a second decode next to any other
+    audio rule)."""
+
+    @pytest.fixture(scope="class")
+    def clips(self, spark):
+        return quality_clips_table(spark, 100).cache()
+
+    def test_six_rule_bundle_single_probe(self, spark, clips):
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from dataverifyr_spark.check import compile_rule_predicate
+
+        rs = audio_quality_ruleset(max_silence_ratio=0.5)
+        assert [r.name for r in rs][-1] == "no_dead_air"
+        preds = [compile_rule_predicate(r).column for r in rs]
+        agg = clips.agg(
+            *[F.sum(F.when(p, 1).otherwise(0)).alias(f"p{i}") for i, p in enumerate(preds)]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain(True)
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        arrow_lines = [ln for ln in phys.splitlines() if "ArrowEvalPython" in ln]
+        assert len(arrow_lines) == 1, phys
+
+    def test_probe_paths_agree_on_silence_ratio(self, spark):
+        import numpy as np
+
+        from dataverifyr_spark.audio import with_audio_features, with_audio_features_vs
+        from dataverifyr_spark.audio.fixtures import clips_table, expected_table
+
+        clips = clips_table(spark, 60)
+        exp = expected_table(spark, 60)
+        a = {
+            r["clip_id"]: r["audio_silence_ratio"]
+            for r in with_audio_features(clips).select("clip_id", "audio_silence_ratio").collect()
+        }
+        b = {
+            r["clip_id"]: r["audio_silence_ratio"]
+            for r in with_audio_features_vs(clips, exp)
+            .select("clip_id", "audio_silence_ratio")
+            .collect()
+        }
+        assert a == b and len(a) == 60
+        # fixture waveforms are two audible tones: every decodable clip ~0.0
+        vals = [v for v in a.values() if v is not None]
+        assert vals and all(v == 0.0 for v in vals)
