@@ -17,6 +17,8 @@ __all__ = [
     "quality_metrics",
     "language_scores",
     "fingerprint",
+    "winnow_fingerprints",
+    "shared_passage_pairs",
     "bpe_train",
     "bpe_token_count",
 ]
@@ -312,3 +314,87 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     if normalize:
         text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(text))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS rolling-hash scheme): hash every word k-gram, slide a window of
+    ``window`` consecutive gram hashes, keep the minimum per window.  Two
+    documents sharing any run of ≥ k+window−1 words are GUARANTEED to share
+    a selected fingerprint — copied-passage detection that whole-document
+    hashing misses and global-Jaccard MinHash dilutes on long documents.
+
+    Pure Catalyst (split → transform/slice k-grams → md5-prefix "hash" →
+    windowed array_min → array_distinct → explode): zero Python, zero
+    shuffle — ~1/window selected prints per token leave the scan, not the
+    text.  The gram hash is the first 16 hex chars of md5 so the selection
+    (a string MIN) is engine-portable — the pytest differential test
+    replays the identical pipeline in DuckDB SQL.  Returns (id_col, fp)
+    rows, distinct per document."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    from .dedup import _norm
+
+    toks = F.split(_norm(F.col(text_col)), " ")
+    n = F.size(toks)
+    gram_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            gram_idx,
+            lambda i: F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 16),
+        ),
+    ).otherwise(F.array(F.substring(F.md5(F.array_join(toks, " ")), 1, 16)))
+    m = F.size(grams)
+    win_idx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
+    fps = F.when(
+        m >= window,
+        F.transform(win_idx, lambda i: F.array_min(F.slice(grams, i + 1, window))),
+    ).otherwise(F.array(F.array_min(grams)))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+def shared_passage_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    copied-passage candidates.  Same scale shape as the LSH band join:
+    fingerprints equi-join on fp (never an all-pairs stage) and a hot-print
+    cap drops boilerplate fingerprints occurring in > ``max_fp_freq`` docs
+    (with drop accounting via ``stats`` — no silent caps: keys
+    ``n_fps_dropped`` / ``n_fp_rows_dropped``).  Returns
+    (id_a, id_b, n_shared) with id_a < id_b."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    if max_fp_freq is not None:
+        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__freq"))
+        if stats is not None:
+            hot = sizes.filter(F.col("__freq") > max_fp_freq).agg(
+                F.count(F.lit(1)).alias("d"), F.coalesce(F.sum("__freq"), F.lit(0)).alias("r")
+            ).collect()[0]
+            stats["n_fps_dropped"] = hot["d"]
+            stats["n_fp_rows_dropped"] = hot["r"]
+        fps = fps.join(
+            sizes.filter(F.col("__freq") <= max_fp_freq).select("fp"), "fp", "left_semi"
+        )
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
