@@ -341,23 +341,42 @@ def winnow_fingerprints(
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     from .dedup import _norm
 
-    toks = F.split(_norm(F.col(text_col)), " ")
+    # Each stage is a SEPARATE projection on purpose: a lambda that
+    # references a bound column attribute reads the per-row array once,
+    # but a lambda referencing an expression SUBTREE re-evaluates it per
+    # element — inlining everything made Catalyst recompute
+    # split(regexp_replace(text)) for every gram of every window
+    # (measured 15 s for 5000 tiny docs; staged: <1 s).
+    tok_c, gram_c = "__toks", "__grams"
+    while tok_c == id_col or tok_c in df.columns:
+        tok_c = "_" + tok_c
+    while gram_c == id_col or gram_c in df.columns:
+        gram_c = "_" + gram_c
+
+    toks = F.col(tok_c)
     n = F.size(toks)
     gram_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.when(
+    grams_expr = F.when(
         n >= k,
         F.transform(
             gram_idx,
             lambda i: F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 16),
         ),
     ).otherwise(F.array(F.substring(F.md5(F.array_join(toks, " ")), 1, 16)))
+
+    grams = F.col(gram_c)
     m = F.size(grams)
     win_idx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
-    fps = F.when(
+    fps_expr = F.when(
         m >= window,
         F.transform(win_idx, lambda i: F.array_min(F.slice(grams, i + 1, window))),
     ).otherwise(F.array(F.array_min(grams)))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+
+    return (
+        df.select(F.col(id_col), F.split(_norm(F.col(text_col)), " ").alias(tok_c))
+        .select(F.col(id_col), grams_expr.alias(gram_c))
+        .select(F.col(id_col), F.explode(F.array_distinct(fps_expr)).alias("fp"))
+    )
 
 
 def shared_passage_pairs(
