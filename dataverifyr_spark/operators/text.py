@@ -395,7 +395,13 @@ def shared_passage_pairs(
     cap drops boilerplate fingerprints occurring in > ``max_fp_freq`` docs
     (with drop accounting via ``stats`` — no silent caps: keys
     ``n_fps_dropped`` / ``n_fp_rows_dropped``).  Returns
-    (id_a, id_b, n_shared) with id_a < id_b."""
+    (id_a, id_b, n_shared) with id_a < id_b.
+
+    Scale note: the self-join references the fingerprint frame on both
+    sides (plus once for the cap sizes), so the text scan runs up to 3x —
+    fine when the input is cached/parquet; for a very large corpus,
+    materialize ``winnow_fingerprints`` to parquet first and join that
+    (prints are ~16 bytes x tokens/window — a tiny fraction of the text)."""
     fps = winnow_fingerprints(docs, text_col, id_col, k, window)
     if max_fp_freq is not None:
         sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__freq"))
