@@ -43,10 +43,19 @@ def chunk_documents(
     # NULL text must behave like an empty document (ONE empty-chunk row):
     # without the coalesce the NULL propagates through size/sequence and
     # explode silently DROPS the row
-    toks = F.coalesce(
+    tok_expr = F.coalesce(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
         F.array().cast("array<string>"),
     )
+    # stage the token array as its own projection: Catalyst does not CSE
+    # across transform lambdas, so an inline `toks` subtree re-runs
+    # split+filter for EVERY chunk — O(tokens²/chunk) on long documents
+    # (same lesson as text.winnow_fingerprints, measured 75x there)
+    tok_c = "__toks"
+    while tok_c == id_col or tok_c in df.columns:
+        tok_c = "_" + tok_c
+    staged = df.select(F.col(id_col), tok_expr.alias(tok_c))
+    toks = F.col(tok_c)
     n = F.size(toks)
     # chunks start at 0, stride, 2*stride, ...; a start at or past
     # n - overlap would be a pure suffix of the previous window (no new
@@ -71,6 +80,6 @@ def chunk_documents(
             ).cast("int").alias("n_chunk_tokens"),
         ),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.explode(chunks).alias("__c")
     ).select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_chunk_tokens")
