@@ -177,6 +177,45 @@ def bench_queries(
             minhash_signatures(docs, num_hashes=32), num_bands=8
         ).count(),
     )
+
+    # LONG-document regime (r6): real web corpora run 10^3-10^4 tokens/doc,
+    # not the fixture's ~50 — this entry pins the shingle cost as LINEAR in
+    # document length (the pre-r6 inline shingles were O(tokens^2): this
+    # exact workload measured 8x slower).  8,000 docs x 1,000 tokens
+    # generated in-plan (pure Catalyst, deterministic), cached once.
+    # Token residues are pseudo-random per SOURCE doc over a 50k vocab so
+    # distinct docs share no shingles (a cyclic vocab makes every doc's
+    # shingle SET identical and the pair output degenerates to all-pairs);
+    # every 4th doc duplicates its predecessor's text — the candidate-pair
+    # output is exactly the planted n/4 duplicates, so the timing measures
+    # the shingle+minhash scan, not pair materialization.
+    _src = F.col("id") - F.when(F.col("id") % 4 == 3, F.lit(1)).otherwise(F.lit(0))
+    docs_long = (
+        spark.range(8000)
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(1000)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(_src, i), F.lit(49999)).cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(parts)
+        .cache()
+    )
+    n_long_docs = docs_long.count()
+    bench_queries.n_long_docs = n_long_docs
+    run(
+        "dedup_minhash_longdocs",
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(docs_long, num_hashes=32), num_bands=8
+        ).count(),
+    )
     run(
         "simhash_documents",
         lambda: simhash(docs, bits=64)
@@ -686,6 +725,7 @@ def main() -> None:
                 # hot-bucket cap dropped (no silent caps)
                 "skewed_dedup": getattr(bench_queries, "skew_stats", None),
                 "dedup_minhash_lsh_stats": getattr(bench_queries, "lsh_stats", None),
+                "n_long_docs": getattr(bench_queries, "n_long_docs", None),
             }
         )
     )
