@@ -859,7 +859,15 @@ def stamp_file_col(df: DataFrame, file_col: str, basename: bool, caller: str) ->
     """Shared file-lineage stamp for the ``*_by_file`` summaries: adds
     ``input_file_name()`` (optionally reduced to the basename — see the
     uniqueness caveat in :func:`check_data_by_file`) inside the scan, with
-    the driver-only non-file-source and column-collision guards."""
+    the driver-only non-file-source and column-collision guards.
+
+    Call on the freshly-READ frame: ``input_file_name()`` is task-scoped,
+    so any exchange between the scan and the stamp (``repartition``, a
+    join, an aggregation) erases it to ``''`` and every row collapses into
+    one blank-file summary group.  ``df.inputFiles()`` cannot detect this
+    (the lineage still lists the files), so the stamp itself guards: an
+    empty ``input_file_name()`` raises IN the scan (``raise_error`` branch
+    — same pass, no extra job) instead of silently mis-grouping."""
     if not df.inputFiles():
         raise ValueError(
             f"{caller} requires a file-backed DataFrame "
@@ -871,6 +879,16 @@ def stamp_file_col(df: DataFrame, file_col: str, basename: bool, caller: str) ->
             "pass file_col=<unused name>"
         )
     src = F.input_file_name()
+    src = F.when(
+        src == "",
+        F.raise_error(
+            F.lit(
+                f"{caller}: input_file_name() is empty — an exchange between the "
+                "scan and the stamp erases file lineage; call on the freshly-read "
+                "frame (before repartition/join/aggregate)"
+            )
+        ),
+    ).otherwise(src)
     if basename:
         src = F.regexp_extract(src, r"([^/]+)$", 1)
     return df.withColumn(file_col, src)

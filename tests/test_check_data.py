@@ -535,3 +535,13 @@ class TestCheckDataByFile:
             back, ruleset(rule("v < 5", name="r")), file_col="src_file"
         )
         assert ok.columns[0] == "src_file" and ok.count() == 3
+
+    def test_stamp_after_shuffle_raises_not_misgroups(self, spark, parts_dir):
+        # input_file_name() is task-scoped: an exchange between scan and
+        # stamp erases it to '' — the stamp's in-plan raise_error guard
+        # turns that silent single-blank-group result into a hard failure
+        from dataverifyr_spark.check import check_data_by_file
+
+        shuffled = spark.read.parquet(parts_dir).repartition(3)
+        with pytest.raises(Exception, match="freshly-read"):
+            check_data_by_file(shuffled, ruleset(rule("v < 5", name="r"))).collect()
