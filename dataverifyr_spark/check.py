@@ -282,14 +282,25 @@ def _schema_rows(
 
 def _reference_ok_column(
     df: DataFrame, r: ReferenceRule, datasets: Mapping[str, DataFrame]
-) -> tuple[DataFrame, Column]:
-    """Return (df joined with hit marker, ok Column) for one reference rule.
+) -> tuple[DataFrame, Column, str]:
+    """Return (per-distinct-local-value counts joined with hit marker,
+    ok Column, count alias) for one reference rule.
 
     R ``%in%`` never yields NA: NULL local ⇒ FALSE (R/data_column.R:352), so
     ``hit IS NOT NULL`` reproduces it exactly.  Rewrite order is the OPPOSITE
     of expression rules here: the reference applies the allow_na is-na rescue
     FIRST and negate LAST (R/data_column.R:353-358), so with both flags set a
     NULL local value is rescued to ok=TRUE and then negated to a FAIL.
+
+    r7 (guide §2.3 "aggregate before you shuffle"): the local side is
+    pre-aggregated to ``(value, count)`` BEFORE the membership join.  Every
+    row's verdict depends only on its value, so the join needs one row per
+    DISTINCT local value, not one per data row; partial aggregation combines
+    duplicates (including a hyper-hot FK value) map-side, the shuffle and
+    join carry |distinct| rows, and skew vanishes without AQE's help — the
+    10^12-row orders-table check joins ~|customers| rows.  A NULL local
+    value groups like any other value (count preserved) and still reads as
+    a non-hit.
     """
     ref = datasets[r.ref_dataset]
     if r.ref_col not in ref.columns:
@@ -299,18 +310,21 @@ def _reference_ok_column(
     ref_alias = "__dvfy_ref_val"
     while ref_alias in df.columns:
         ref_alias = "_" + ref_alias
+    cnt = _safe_alias(df.columns, "__cnt")
     ref_vals = ref.select(F.col(r.ref_col).alias(ref_alias)).distinct()
-    # project df to the local column ONLY before joining: membership counting
-    # needs nothing else, and at 10^12 rows a sort-merge join must not shuffle
-    # the full payload (audio bytes!) just to count matches
-    local = df.select(F.col(r.local_col))
+    # project df to the local column ONLY, then count per distinct value:
+    # membership counting needs nothing else, and at 10^12 rows neither the
+    # payload nor the data rows themselves may enter the join
+    local = df.select(F.col(r.local_col)).groupBy(r.local_col).agg(
+        F.count(F.lit(1)).alias(cnt)
+    )
     joined = local.join(ref_vals, local[r.local_col] == F.col(ref_alias), "left")
     ok = F.col(ref_alias).isNotNull()
     if r.allow_na:
         ok = ok | F.col(r.local_col).isNull()
     if r.negate:
         ok = ~ok
-    return joined, ok
+    return joined, ok, cnt
 
 
 def _eval_uniqueness(df: DataFrame, r: "UniquenessRule", tests: int) -> dict[str, Any]:
@@ -402,9 +416,9 @@ def _eval_reference(
             elapsed=_time.perf_counter() - t0,
         )
     try:
-        joined, ok = _reference_ok_column(df, r, datasets)
+        joined, ok, cnt = _reference_ok_column(df, r, datasets)
         passed = joined.agg(
-            F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("p")
+            F.sum(F.when(ok, F.col(cnt)).otherwise(F.lit(0))).alias("p")
         ).collect()[0]["p"]
         return _result_row(r, tests, int(passed or 0), elapsed=_time.perf_counter() - t0)
     except Exception as exc:
@@ -745,9 +759,18 @@ def check_data_by(
             datasets[r.ref_dataset].select(F.col(r.ref_col).alias(ref_alias)).distinct()
         )
         # key-only projection: by columns + the FK column (deduped — the FK
-        # may itself be a by column); payload never joins
+        # may itself be a by column); payload never joins.  r7: pre-aggregate
+        # to (group, value, count) BEFORE the membership join (guide §2.3) —
+        # the join carries one row per distinct (group × FK value), partial
+        # aggregation absorbs hot keys map-side, and the per-group sums
+        # reconstruct exact tests/pass from the counts.
         proj = list(by_cols) + ([r.local_col] if r.local_col not in by_cols else [])
-        local = df.select(*[F.col(c) for c in proj])
+        cnt = _safe_alias(df.columns, "__cnt")
+        local = (
+            df.select(*[F.col(c) for c in proj])
+            .groupBy(*proj)
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
         joined = local.join(ref_vals, local[r.local_col] == F.col(ref_alias), "left")
         ok = F.col(ref_alias).isNotNull()
         if r.allow_na:  # rescue FIRST, negate LAST (R/data_column.R:353-358)
@@ -757,8 +780,8 @@ def check_data_by(
         rows = (
             joined.groupBy(*[F.col(c) for c in by_cols])
             .agg(
-                F.count(F.lit(1)).alias("tests"),
-                F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("pass"),
+                F.sum(F.col(cnt)).alias("tests"),
+                F.sum(F.when(ok, F.col(cnt)).otherwise(F.lit(0))).alias("pass"),
             )
             .select(
                 *by_cols,

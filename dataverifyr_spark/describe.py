@@ -145,6 +145,54 @@ def _stat_aggs(fields: list[T.StructField], fast: bool, approx: bool) -> list[Co
     return aggs
 
 
+def _approx_agg_split(fields: list[T.StructField]) -> tuple[list[Column], list[Column]]:
+    """The approx profile's aggregates split into (declarative, sketch)
+    lists — same expressions and aliases as :func:`_stat_aggs` with
+    ``approx=True``, minus the ``anynull__`` aggregate (derived from
+    ``na__ > 0`` by the callers instead of paying a 17th per-column agg).
+
+    Why the split (r7, guide §1.2 "per-task work"): a single agg mixing KLL/
+    HLL sketches with min/mean/max/sd forces EVERYTHING through one
+    ObjectHashAggregate — TypedImperativeAggregate buffers disable whole-
+    stage codegen for the whole operator, so ~8 interpreted buffer updates
+    per column per row.  Split, the declarative half (count/sum/min/max/
+    stddev) runs as a codegen HashAggregate while the sketch half keeps a
+    buffer of just 2 typed slots per column; the two subtrees are
+    independent stages of ONE job (joined single-row/per-group results), so
+    the scheduler runs them concurrently.  Measured on the bench profile
+    shape (16 columns × 9.6M cached rows): 3.78 s → see OPTIMIZATION_r07.md.
+    """
+    decl: list[Column] = [F.count(F.lit(1)).alias("n__")]
+    sketch: list[Column] = []
+    for f in fields:
+        c, name = F.col(f.name), f.name
+        val = _value_expr(name, f.dataType)
+        decl.append(F.sum(c.isNull().cast("long")).alias(f"na__{name}"))
+        decl.append(F.min(val).alias(f"min__{name}"))
+        decl.append(F.mean(val).alias(f"mean__{name}"))
+        decl.append(F.max(val).alias(f"max__{name}"))
+        decl.append(F.stddev_samp(val).alias(f"sd__{name}"))
+        # sketch choices identical to _stat_aggs(approx=True) — see the
+        # r6 notes there (DataSketches HLL where typed, KLL median with the
+        # all-NaN guard)
+        if isinstance(f.dataType, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)):
+            nd = F.hll_sketch_estimate(F.hll_sketch_agg(c))
+        elif isinstance(f.dataType, (T.ShortType, T.ByteType)):
+            nd = F.hll_sketch_estimate(F.hll_sketch_agg(c.cast("int")))
+        else:
+            nd = F.approx_count_distinct(c)
+        sketch.append(nd.alias(f"nd__{name}"))
+        sketch.append(
+            F.when(
+                F.count(F.when(~F.isnan(val), val)) > 0,
+                F.kll_sketch_get_quantile_double(
+                    F.kll_sketch_agg_double(val), F.lit(0.5)
+                ),
+            ).alias(f"med__{name}")
+        )
+    return decl, sketch
+
+
 def _with_exact_vals(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
     """Exact percentile needs NAMED numeric-view columns — materialize them."""
     return df.select(
@@ -200,11 +248,20 @@ def describe(
     if fused_topk is None:
         fused_topk = approx
 
-    aggs = _stat_aggs(fields, fast, approx)
-    if fast or approx:
-        # sketch path: no exact percentile, no projection needed
-        row = df.agg(*aggs).collect()[0].asDict()
+    if approx and not fast:
+        # r7: declarative half (codegen HashAggregate) and sketch half
+        # (narrow ObjectHashAggregate) as two independent subtrees of ONE
+        # job — a 1×1 cross join of the single-row results; the DAG
+        # scheduler runs both aggregate stages concurrently.  anynull is
+        # derived from na__ below instead of a 17th per-column aggregate.
+        decl_aggs, sketch_aggs = _approx_agg_split(fields)
+        row = df.agg(*decl_aggs).crossJoin(df.agg(*sketch_aggs)).collect()[0].asDict()
+        for f in fields:
+            row[f"anynull__{f.name}"] = 1 if int(row[f"na__{f.name}"] or 0) > 0 else 0
+    elif fast:
+        row = df.agg(*_stat_aggs(fields, fast, approx)).collect()[0].asDict()
     else:
+        aggs = _stat_aggs(fields, fast, approx)
         row = _with_exact_vals(df, fields).agg(*aggs).collect()[0].asDict()
     n = int(row["n__"])
 
@@ -286,10 +343,32 @@ def describe_by(
             raise ValueError(f"by column {c!r} not in DataFrame")
     fields = [f for f in df.schema.fields if f.name not in by_cols]
 
-    aggs = _stat_aggs(fields, fast, approx)
-    if fast or approx:
-        grouped = df.groupBy(*by_cols).agg(*aggs)
+    if approx and not fast:
+        # r7: same declarative/sketch split as describe() per group — two
+        # grouped aggregates (codegen + narrow-sketch) joined 1:1 on the
+        # null-safe group key; both subtrees are independent stages of the
+        # one collected job.  anynull derives from na__ > 0 in-plan.
+        decl_aggs, sketch_aggs = _approx_agg_split(fields)
+        decl_g = df.groupBy(*by_cols).agg(*decl_aggs)
+        sk_keys = []
+        for c in by_cols:  # collision-proof internal join-key aliases
+            k = f"__k_{c}"
+            while k in df.columns:
+                k = "_" + k
+            sk_keys.append(k)
+        sk_g = (
+            df.select(*[F.col(c).alias(k) for c, k in zip(by_cols, sk_keys)], *df.columns)
+            .groupBy(*sk_keys)
+            .agg(*sketch_aggs)
+        )
+        cond = F.lit(True)
+        for c, k in zip(by_cols, sk_keys):
+            cond = cond & decl_g[c].eqNullSafe(sk_g[k])
+        grouped = decl_g.join(sk_g, cond, "inner").drop(*sk_keys)
+    elif fast:
+        grouped = df.groupBy(*by_cols).agg(*_stat_aggs(fields, fast, approx))
     else:
+        aggs = _stat_aggs(fields, fast, approx)
         grouped = _with_exact_vals(df, fields).groupBy(*by_cols).agg(*aggs)
 
     structs: list[Column] = []
@@ -300,7 +379,12 @@ def describe_by(
             med = F.lit(None).cast("double")
         else:
             # R n_distinct counts NA as one distinct value (R/describe.R:112)
-            nd = (F.col(f"nd__{name}") + F.col(f"anynull__{name}")).cast("long")
+            anynull = (
+                (F.col(f"na__{name}") > 0).cast("long")
+                if approx
+                else F.col(f"anynull__{name}")
+            )
+            nd = (F.col(f"nd__{name}") + anynull).cast("long")
             med = F.col(f"med__{name}").cast("double")
         structs.append(
             F.struct(

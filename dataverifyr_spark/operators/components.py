@@ -31,6 +31,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     stats: dict | None = None,
+    broadcast_labels_max: int = 4_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in the edge list; the
     component id is the minimum node id of the component.
@@ -55,19 +56,48 @@ def connected_components(
     ``stats``: pass a dict to receive ``{"rounds": n, "converged": bool}`` —
     production observability for diameter drift (a dedup graph suddenly
     needing 20 rounds means a giant quasi-duplicate cluster appeared).
+
+    r7 round-cost fixes (the skewed-dedup CC dominated its bench entry):
+
+    - The first propagation round is FUSED into label initialization: one
+      ``groupBy(u).agg(least(u, min(v)))`` replaces the ``distinct`` init
+      scan PLUS the first join round (identical labels by construction —
+      round 1's output is min over self and direct neighbors).  Round
+      counting is unchanged: the fused init IS round 1.
+    - The per-round message join BROADCASTS the label table when the node
+      count (known from the init's count, which also settles the empty-edge
+      case) is at most ``broadcast_labels_max``.  A localCheckpoint-backed
+      frame has no size statistics, so the planner otherwise assumes it is
+      huge and sort-merge-joins — shuffling and sorting the FULL cached edge
+      list every round (measured: the dominant cost of the skewed-dedup CC).
+      Above the threshold (~64 MB of (long,long) rows) the shuffle join is
+      the right call and behavior is unchanged.
     """
     # undirected edge list, both directions
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     both = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     both = both.cache()
 
-    labels = both.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    # fused init ≡ classic round 1: label(u) = min(u, min direct neighbor)
+    labels = (
+        both.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .localCheckpoint()
+    )
+    n_nodes = labels.count()
+    bcast = n_nodes <= broadcast_labels_max
     converged = False
-    rounds = 0
-    for _ in range(max_iter):
+    rounds = 1
+    if n_nodes == 0:
+        # no edges: nothing to propagate (rounds semantics match the r6 loop,
+        # which detected the empty fixpoint on its first round)
+        converged = True
+    for _ in range(max_iter - 1):
+        if converged:
+            break
         rounds += 1
         msgs = (
-            both.join(labels, "u")
+            both.join(F.broadcast(labels) if bcast else labels, "u")
             .select(F.col("v").alias("u"), "label")
             .withColumn("__own", F.lit(False))
         )

@@ -83,6 +83,39 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(F.split(_norm(text), " ")), build), 1)
 
 
+def _hashed_shingles(text: Column, k: int) -> Column:
+    """Word k-gram shingles as an ``array<long>`` of 64-bit hashes — the
+    identity MinHash actually consumes, built WITHOUT materializing shingle
+    strings.
+
+    Each token string is hashed ONCE (``xxhash64``); a shingle's hash is one
+    fixed-width ``xxhash64`` over its k consecutive token hashes.  Versus
+    hashing concatenated k-gram strings this removes, per shingle, one
+    ~20-byte string allocation + copy and re-hashing every token k times —
+    the r7 long-doc profile showed shingle-string construction as a third of
+    the signature stage (guide §2.3: shuffle/aggregate keys, not payloads).
+    Token arrays are let-bound via transform-over-a-singleton (the lambda-CSE
+    guard, see :func:`shingles`).  Short texts (< k tokens) degrade to one
+    shingle hashing the whole token-hash array, mirroring the whole-text
+    fallback of :func:`shingles`.  Duplicate k-grams are NOT deduplicated:
+    a min-aggregate is multiset-invariant, so ``array_distinct`` (an extra
+    O(n) pass over every row) buys nothing downstream.
+    """
+
+    def build(th: Column) -> Column:
+        n = F.size(th)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(k)]),
+            ),
+        ).otherwise(F.array(F.xxhash64(th)))
+
+    token_hashes = F.transform(F.split(_norm(text), " "), lambda t: F.xxhash64(t))
+    return F.element_at(F.transform(F.array(token_hashes), build), 1)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -92,28 +125,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """id + minhash signature array (length num_hashes).
 
-    Each hash family member is ``xxhash64(shingle, seed_i)``; min over the
-    shingle set approximates Jaccard similarity between documents.
+    Each hash family member is ``xxhash64(shingle_hash, seed_i)`` where
+    ``shingle_hash`` is the 64-bit k-gram hash from
+    :func:`_hashed_shingles`; min over the shingle set approximates Jaccard
+    similarity between documents exactly as in the string-shingle family
+    (r1–r6), but each per-seed evaluation hashes a FIXED-WIDTH pair of longs
+    instead of re-walking the shingle string — on the 1000-token long-doc
+    bench corpus this cut the signature stage 2.5× (2.58 s → 1.04 s
+    isolated, bench_extra/OPTIMIZATION_r07.md).
 
-    Shape: explode shingles → one flat row per (id, shingle) → groupBy(id)
-    with ``min`` aggregates.  The min-agg combines map-side, the shuffle
-    carries only num_hashes longs per document, and codegen sees a flat
-    projection of xxhash64 calls instead of num_hashes nested array
-    transforms (which measured ~5x slower and grow with document length).
+    Shape: explode shingle hashes → one flat (id, hash64) row — the shuffle
+    and the aggregate touch 8 bytes per shingle, never text — → groupBy(id)
+    with ``num_hashes`` min aggregates (declarative, codegen HashAggregate,
+    map-side partial; the shuffle carries only num_hashes longs per doc).
 
-    Also measured and REJECTED (r4): a per-row ``aggregate`` fold keeping an
-    array of running minimums (zip_with + least per shingle) — zero shuffle
-    on paper, but interpreted HOF evaluation + per-shingle array allocation
-    made the full candidate-pair query 4.8 s → 8.9 s.  (Beware benchmarking
-    the signature stage under a count(): Catalyst prunes the unreferenced
-    signature column and the fold appears 7x faster while computing
-    nothing.)
+    Measured and REJECTED:
+    - (r4, still valid) a per-row ``aggregate`` fold keeping an array of
+      running minimums — interpreted HOF evaluation + per-shingle array
+      allocation made the full candidate-pair query 4.8 s → 8.9 s.  (Beware
+      benchmarking the signature stage under a count(): Catalyst prunes the
+      unreferenced signature column and the fold computes nothing.)
+    - (r7) one-permutation hashing with circular densification (the r6
+      VERDICT #3 candidate): binning by ``pmod(hash, num_hashes)`` + one
+      conditional min per bin + a densify pass was SLOWER than this family
+      on every corpus (long docs 1.24 s vs 1.04 s; short-doc skew corpus
+      1.31 s vs 0.91 s isolated): 32 null-guarded conditional mins plus an
+      interpreted-HOF densification cost more than 32 codegen'd fixed-width
+      hashes, and sparse-doc densification correlates band slots (more
+      cross-variant candidate buckets on boilerplate corpora).
     """
     exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
+        F.col(id_col), F.explode(_hashed_shingles(F.col(text_col), shingle_k)).alias("__h")
     )
     mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
     )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("signature")
@@ -145,8 +190,21 @@ def lsh_candidate_pairs(
     two hot buckets counts twice).  Computed as one extra tiny aggregate on
     the already-derived bucket-size frame; dropped buckets mean candidate
     recall < 1 for pairs living only inside them.
+
+    r7: the banded frame is MATERIALIZED once (``localCheckpoint``) before
+    fan-out.  The band rows feed up to four plan consumers (bucket-size
+    aggregate, cap filter, both self-join sides), and Spark's exchange-reuse
+    cannot deduplicate them: plans containing lambda HOFs (the banding
+    ``transform``) fail canonicalized-plan equality, so EXPLAIN showed the
+    full scan→shingle→minhash pipeline FOUR times per query, zero
+    ReusedExchange.  Checkpointing the (id, band, bucket) proxy — never the
+    text — costs one banding pass and one executor-storage write of
+    O(docs × bands) narrow rows (the guide §8 "decide with small rows"
+    shape); it is freed by the ContextCleaner when the result is dropped,
+    and every run still computes from the raw inputs (within-query
+    materialization, not cross-run caching).
     """
-    banded = _banded(sigs, id_col, num_bands)
+    banded = _banded(sigs, id_col, num_bands).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -205,6 +263,11 @@ def _banded(sigs: DataFrame, id_col: str, num_bands: int) -> DataFrame:
     cross-corpus pair paths so both see identical buckets."""
     sig = F.col("signature")
     rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
+    # bucket = xxhash64 of the band's array<long> slice directly — Spark's
+    # hash expressions fold array elements natively, so the previous
+    # per-element cast-to-string + array_join (one string alloc per
+    # signature row per band) is pure overhead with identical collision
+    # behavior (slices equal ⇔ buckets equal, modulo 64-bit collisions)
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -212,15 +275,9 @@ def _banded(sigs: DataFrame, id_col: str, num_bands: int) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
+                    F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
                 ),
             )
         ).alias("bb"),
@@ -251,9 +308,14 @@ def lsh_pairs_against(
     ``stats``: pass a dict to receive per-side drop accounting —
     ``{"new": {n_buckets_dropped, n_rows_dropped}, "corpus": {...}}`` — the
     same no-silent-caps contract as ``lsh_candidate_pairs``.
+
+    Both banded sides are materialized once (``localCheckpoint``) before the
+    cap/join fan-out — same rationale as :func:`lsh_candidate_pairs` (lambda
+    HOFs defeat exchange reuse; without this each side's signature pipeline
+    re-ran per consumer).
     """
-    a = _banded(new_sigs, id_col, num_bands)
-    b = _banded(corpus_sigs, id_col, num_bands)
+    a = _banded(new_sigs, id_col, num_bands).localCheckpoint(eager=True)
+    b = _banded(corpus_sigs, id_col, num_bands).localCheckpoint(eager=True)
     if max_bucket_size is not None:
 
         def _cap(side: DataFrame, side_name: str) -> DataFrame:
