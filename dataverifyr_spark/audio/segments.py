@@ -92,7 +92,7 @@ def audio_segments(
                     sl = samples[s * win : (s + 1) * win]
                     if not len(sl):
                         continue
-                    x = sl.astype(np.float64) / 32768.0
+                    x = sl * (1.0 / 32768.0)
                     rms = float(np.sqrt(np.mean(x * x)))
                     dom, _cent = _spectral(x, sr)
                     rows.append(
