@@ -233,12 +233,85 @@ def mode_misc(spark):
     )
 
 
+def _jvm_gc_ms(spark) -> float:
+    """Total JVM GC time (ms) across collectors — local mode, so driver JVM
+    == executor JVM and this is the whole story."""
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return float(sum(beans.get(i).getCollectionTime() for i in range(beans.size())))
+
+
+def _heap_mb(spark) -> float:
+    mem = spark._jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+    return mem.getHeapMemoryUsage().getUsed() / 1e6
+
+
+def mode_gcprobe(spark):
+    """Root-cause probe for the in-suite inflation of violations_tagged_scan
+    (r6 VERDICT #2): run the query N times in a BARE session (only lineitem
+    cached), then build and touch the media corpora exactly like the suite
+    does, then run it again — recording wall time, GC time and heap per run.
+    If the suite composition penalizes the explode via memory pressure, the
+    post-media runs show the inflation AND the GC/heap deltas name it."""
+    parts = CPUS * 2
+    li = _scale_up(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"), MULT, parts)
+    li.count()
+
+    def violations():
+        return (
+            dv.filter_fails(LINEITEM_RULES, li, tag=True)
+            .groupBy("failed_rule")
+            .count()
+            .collect()
+        )
+
+    def timed_runs(tag, n=4):
+        out = []
+        for i in range(n):
+            gc0, h0 = _jvm_gc_ms(spark), _heap_mb(spark)
+            t0 = time.perf_counter()
+            violations()
+            wall = time.perf_counter() - t0
+            out.append(
+                {
+                    "run": f"{tag}{i}",
+                    "wall_s": round(wall, 3),
+                    "gc_ms": round(_jvm_gc_ms(spark) - gc0, 1),
+                    "heap_before_mb": round(h0),
+                    "heap_after_mb": round(_heap_mb(spark)),
+                }
+            )
+        return out
+
+    violations()  # warm codegen
+    rows = timed_runs("bare_")
+
+    # build the suite's media residency: same corpora, cached and touched
+    from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features
+    from dataverifyr_spark.operators.h264 import h264_videos_table
+    from dataverifyr_spark.operators.image import videos_table
+    from dataverifyr_spark.operators.mjpeg import mjpeg_videos_table
+
+    clips = clips_table(spark, N_CLIPS, num_partitions=CPUS).cache()
+    clips.count()
+    vids = videos_table(spark, 10000, num_partitions=CPUS).cache()
+    vids.count()
+    h264 = h264_videos_table(spark, 10000, num_partitions=CPUS).cache()
+    h264.count()
+    mjp = mjpeg_videos_table(spark, 4000, num_partitions=CPUS).cache()
+    mjp.count()
+    dv.check_data(with_audio_features(clips), audio_ruleset()).collect()
+
+    rows += timed_runs("postmedia_")
+    print(json.dumps(rows, indent=1))
+
+
 MODES = {
     "minhash": mode_minhash,
     "describe": mode_describe,
     "reference": mode_reference,
     "audio": mode_audio,
     "misc": mode_misc,
+    "gcprobe": mode_gcprobe,
 }
 
 

@@ -84,11 +84,17 @@ def curate_clips(
         stats["validated_rows"] = clean.count()
         stats["rules"] = [r.name for r in rules]
 
+    # validate BEFORE the truthiness branch (r6 ADVICE): falsy-but-invalid
+    # values ('' / 0) must raise, not silently skip the dedup stage, and
+    # only real booleans/mode strings are accepted (1 == True would
+    # otherwise slip through the membership test)
+    if not (
+        (isinstance(dedup_captions, bool)) or dedup_captions in ("exact", "near")
+    ):
+        raise ValueError(
+            f"dedup_captions must be True/'exact', 'near' or False, got {dedup_captions!r}"
+        )
     if dedup_captions:
-        if dedup_captions not in (True, "exact", "near"):
-            raise ValueError(
-                f"dedup_captions must be True/'exact', 'near' or False, got {dedup_captions!r}"
-            )
         if not 0.0 < near_jaccard <= 1.0:
             # 0 would merge every LSH candidate pair (one giant component);
             # >1 silently disables the stage — both are configuration bugs

@@ -228,7 +228,7 @@ _PROBE_FIELDS = {
     "audio_peak": "peak",  # max |sample| with full-scale int16 == 1.0
     "audio_clip_ratio": "clip_ratio",  # fraction of samples at >=0.999 full scale
     "audio_dc_offset": "dc_offset",  # mean normalized sample (DC bias)
-    "audio_silence_ratio": "silence_ratio",  # fraction of 100ms windows under -40 dBFS
+    "audio_silence_ratio": "silence_ratio",  # fraction of 20 ms frames under -40 dBFS
 }
 
 # spectral family: same field-of-shared-probe compilation, separate probe UDF

@@ -150,6 +150,14 @@ def violation_examples(
     if isinstance(order_by, str):
         order_by = [order_by]
     order_cols = [F.col(c) for c in (order_by or x.columns)]
+    if "example_rank" in x.columns:
+        # the fixed output column must not silently duplicate an input
+        # column (AMBIGUOUS_REFERENCE for every downstream select) —
+        # mirror stamp_file_col's collision contract (r6 ADVICE)
+        raise ValueError(
+            "violation_examples emits an 'example_rank' column but x already "
+            "has one; rename or drop it first"
+        )
     rn = "__rn"
     while rn in tagged.columns:  # collision-proof internal alias
         rn = "_" + rn

@@ -160,7 +160,15 @@ class ValidationLedger:
                 "run_incremental needs a file-based source "
                 "(df.inputFiles() is empty — input_file_name() would be '')"
             )
-        scoped = df.withColumn(file_col, F.input_file_name())
+        # stamp via the shared guard (r6 ADVICE): a bare input_file_name()
+        # withColumn passes the inputFiles() listing check yet stamps ''
+        # when an exchange (repartition/join) sits between the scan and the
+        # stamp — every row would collapse into part_key '' and mark the
+        # whole delta completed for future resumes.  stamp_file_col raises
+        # IN the scan on empty lineage and collision-guards file_col.
+        from .check import stamp_file_col
+
+        scoped = stamp_file_col(df, file_col, basename=False, caller="run_incremental")
         return self.run(scoped, rules, part_col=file_col, run_id=run_id)
 
     def results(self, run_id: str) -> DataFrame:

@@ -63,15 +63,19 @@ def connected_components(
       ``groupBy(u).agg(least(u, min(v)))`` replaces the ``distinct`` init
       scan PLUS the first join round (identical labels by construction —
       round 1's output is min over self and direct neighbors).  Round
-      counting is unchanged: the fused init IS round 1.
-    - The per-round message join BROADCASTS the label table when the node
-      count (known from the init's count, which also settles the empty-edge
-      case) is at most ``broadcast_labels_max``.  A localCheckpoint-backed
-      frame has no size statistics, so the planner otherwise assumes it is
-      huge and sort-merge-joins — shuffling and sorting the FULL cached edge
-      list every round (measured: the dominant cost of the skewed-dedup CC).
-      Above the threshold (~64 MB of (long,long) rows) the shuffle join is
-      the right call and behavior is unchanged.
+      counting is unchanged: the fused init IS round 1.  This saves one full
+      edge-list shuffle (the distinct) and one complete round per call.
+    - The per-round message join carries an explicit BROADCAST hint on the
+      label table when the node count (known from the init's count, which
+      also settles the empty-edge case) is at most ``broadcast_labels_max``.
+      Plan inspection (plans/r07/cc_round_message_join_*) showed Spark 4
+      PRESERVES size statistics through ``localCheckpoint``, so small label
+      tables already auto-broadcast — the hint's value is (a) label tables
+      between the 10 MB auto-broadcast threshold and ~64 MB (millions of
+      nodes) would otherwise sort-merge-join the full cached edge list every
+      round, and (b) the choice becomes deterministic instead of
+      estimate-driven.  Above the threshold the shuffle join is the right
+      call and behavior is unchanged.
     """
     # undirected edge list, both directions
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -397,12 +397,20 @@ def shared_passage_pairs(
     ``n_fps_dropped`` / ``n_fp_rows_dropped``).  Returns
     (id_a, id_b, n_shared) with id_a < id_b.
 
-    Scale note: the self-join references the fingerprint frame on both
-    sides (plus once for the cap sizes), so the text scan runs up to 3x —
-    fine when the input is cached/parquet; for a very large corpus,
-    materialize ``winnow_fingerprints`` to parquet first and join that
-    (prints are ~16 bytes x tokens/window — a tiny fraction of the text)."""
-    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    r7 (the r6 VERDICT #4 ask): the fingerprint frame is MATERIALIZED once
+    (eager ``localCheckpoint``) before fan-out.  It feeds up to four plan
+    consumers (cap sizes, the stats aggregate, cap semi-join probe side,
+    both self-join sides), and exchange reuse never deduplicates them — the
+    winnowing ``transform`` lambdas defeat canonicalized-plan equality
+    (same root cause as ``dedup.lsh_candidate_pairs``, see its docstring) —
+    so the raw TEXT scan used to run up to 3x per call.  The checkpoint
+    holds only (id, fp) rows, ~16 bytes × tokens/window per doc — a tiny
+    fraction of the text — and is freed with the result by the
+    ContextCleaner; for a corpus too large even for that, materialize
+    ``winnow_fingerprints`` to parquet yourself and join that."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window).localCheckpoint(
+        eager=True
+    )
     if max_fp_freq is not None:
         sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__freq"))
         if stats is not None:

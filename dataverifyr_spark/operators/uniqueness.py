@@ -28,13 +28,19 @@ def distinct_count_salted(
     if approx:
         row = df.agg(F.approx_count_distinct(F.struct(*cols)).alias("d")).collect()[0]
         return int(row["d"])
-    key = F.struct(*[F.col(c) for c in cols])
+    salt = "__salt"
+    while salt in df.columns:  # collision-proof internal alias
+        salt = "_" + salt
+    # group directly on the key columns (r7): a struct wrapper allocated one
+    # nested row per input row only to reproduce what multi-column grouping
+    # already does (GROUP BY groups NULLs identically either way)
     salted = df.select(
-        F.pmod(F.xxhash64(*cols), F.lit(num_salts)).alias("__salt"), key.alias("__key")
+        F.pmod(F.xxhash64(*cols), F.lit(num_salts)).alias(salt),
+        *[F.col(c) for c in cols],
     )
     # phase 1 dedupe within (salt, key); phase 2 global count — two shuffles
     # but both with partial aggregation and no hot single reducer
-    deduped = salted.groupBy("__salt", "__key").agg(F.lit(1))
+    deduped = salted.groupBy(salt, *cols).agg(F.lit(1))
     return deduped.count()
 
 
