@@ -307,7 +307,12 @@ def describe(
                 _f(row[f"sd__{name}"]),
             )
         )
-    return spark.createDataFrame(out_rows, DESCRIBE_SCHEMA)
+    # one-slice local frame: createDataFrame(list) parallelizes over
+    # defaultParallelism slices, making every profile collect a 32-task job
+    # (~0.3 s of scheduling for a 16-row result; see check._local_result_df)
+    from .check import _local_result_df
+
+    return _local_result_df(spark, out_rows, DESCRIBE_SCHEMA)
 
 
 def describe_by(

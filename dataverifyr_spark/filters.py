@@ -85,18 +85,30 @@ def filter_fails(
     column (scale extension: write straight to a violations table).
     """
     rules = _rules_from_result(res)
-    usable: list[tuple[Rule, Column]] = []
     # schema-only probe frame: rule analysis cost must not scale with x's plan
     probe_df = x.sparkSession.createDataFrame([], x.schema)
+    staged: list[tuple[Rule, Column]] = []
     for r in rules:
         try:
-            pred = fail_predicate(r)
-            probe_df.select(pred.alias("__probe"))  # force analysis now
-            usable.append((r, pred))
+            staged.append((r, fail_predicate(r)))
         except Exception:
-            # uncompilable rule (e.g. missing column) cannot identify
-            # violation rows; check_data already reported it as an error row
-            continue
+            continue  # compile-time failure (ExprError)
+    # r7: one batched analysis for the happy path (aliased probe columns
+    # resolve independently — same contract, one driver roundtrip instead
+    # of N); fall back to per-rule attribution only when the batch fails
+    usable: list[tuple[Rule, Column]] = []
+    try:
+        probe_df.select(*[p.alias(f"__probe{i}") for i, (_, p) in enumerate(staged)])
+        usable = staged
+    except Exception:
+        for r, pred in staged:
+            try:
+                probe_df.select(pred.alias("__probe"))  # force analysis now
+                usable.append((r, pred))
+            except Exception:
+                # uncompilable rule (e.g. missing column) cannot identify
+                # violation rows; check_data already reported it as an error row
+                continue
 
     if per_rule:
         out: dict[str, DataFrame] = {}

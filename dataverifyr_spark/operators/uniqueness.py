@@ -56,7 +56,16 @@ def uniqueness_check(
     spark = df.sparkSession
     total = df.count()
     distinct = distinct_count_salted(df, cols, approx=approx)
-    return spark.createDataFrame(
+    from pyspark.sql import types as T
+
+    from ..check import _local_result_df
+
+    schema = T.StructType.fromDDL(
+        "key string, total_rows bigint, distinct_keys bigint, "
+        "duplicate_rows bigint, is_unique boolean"
+    )
+    return _local_result_df(
+        spark,
         [(".".join(cols), total, distinct, total - distinct, distinct == total)],
-        "key string, total_rows bigint, distinct_keys bigint, duplicate_rows bigint, is_unique boolean",
+        schema,
     )
