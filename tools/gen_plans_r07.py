@@ -181,6 +181,19 @@ emit(
     cap(deduped),
 )
 
+# -- 7b. winnowing copied-passage pairs --------------------------------------
+from dataverifyr_spark.operators.text import shared_passage_pairs  # noqa: E402
+
+sp = shared_passage_pairs(docs, k=5, window=4, min_shared=2)
+emit(
+    "shared_passage_pairs",
+    "winnowing fingerprint self-join (r6: the fp frame — and with it the raw"
+    " TEXT scan — re-planned per consumer, up to 3x; r7: one checkpointed"
+    " (id, fp) frame feeds the cap and both join sides — count the"
+    " split(regexp_replace(...)) occurrences: >0 before, 0 after)",
+    cap(sp),
+)
+
 # -- 8. audio validate (plan-shape invariant) --------------------------------
 from dataverifyr_spark.audio import audio_ruleset, clips_table, with_audio_features  # noqa: E402
 
