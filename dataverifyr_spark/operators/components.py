@@ -77,9 +77,23 @@ def connected_components(
       estimate-driven.  Above the threshold the shuffle join is the right
       call and behavior is unchanged.
     """
-    # undirected edge list, both directions
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    both = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # undirected edge list, both directions — emitted by ONE explode per
+    # edge row instead of union(fwd, reversed(fwd)): the union referenced
+    # the ``edges`` plan twice, so materializing the cache re-ran the whole
+    # upstream candidate-pair pipeline (banded join + distinct) once per
+    # branch (r7; same duplicate-subtree class as the banded-LSH fan-out)
+    both = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .distinct()
+    )
     both = both.cache()
 
     # fused init ≡ classic round 1: label(u) = min(u, min direct neighbor)
