@@ -172,9 +172,16 @@ def _approx_agg_split(fields: list[T.StructField]) -> tuple[list[Column], list[C
         decl.append(F.mean(val).alias(f"mean__{name}"))
         decl.append(F.max(val).alias(f"max__{name}"))
         decl.append(F.stddev_samp(val).alias(f"sd__{name}"))
+        # the KLL all-NaN guard count lives HERE (codegen, ~free) instead of
+        # inside the sketch aggregate, where the same interpreted
+        # count(when(~isnan)) measured 37% of the whole KLL agg (1.22 s vs
+        # 0.76 s bare on the bench profile shape) — the guard is applied by
+        # _approx_median_exprs AFTER the join, once per output row
+        decl.append(F.count(F.when(~F.isnan(val), val)).alias(f"nnan__{name}"))
         # sketch choices identical to _stat_aggs(approx=True) — see the
         # r6 notes there (DataSketches HLL where typed, KLL median with the
-        # all-NaN guard)
+        # all-NaN guard); the KLL sketch is returned RAW (binary) and the
+        # quantile extracted post-join
         if isinstance(f.dataType, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)):
             nd = F.hll_sketch_estimate(F.hll_sketch_agg(c))
         elif isinstance(f.dataType, (T.ShortType, T.ByteType)):
@@ -182,15 +189,23 @@ def _approx_agg_split(fields: list[T.StructField]) -> tuple[list[Column], list[C
         else:
             nd = F.approx_count_distinct(c)
         sketch.append(nd.alias(f"nd__{name}"))
-        sketch.append(
-            F.when(
-                F.count(F.when(~F.isnan(val), val)) > 0,
-                F.kll_sketch_get_quantile_double(
-                    F.kll_sketch_agg_double(val), F.lit(0.5)
-                ),
-            ).alias(f"med__{name}")
-        )
+        sketch.append(F.kll_sketch_agg_double(val).alias(f"kllraw__{name}"))
     return decl, sketch
+
+
+def _approx_median_exprs(fields: list[T.StructField]) -> list[Column]:
+    """Post-join median projections for the approx split: guard on the
+    declarative job's non-NaN count (an empty KLL buffer — all-NULL or
+    all-NaN input — makes get_quantile raise), extract the 0.5 quantile from
+    the raw sketch binary.  Evaluated once per OUTPUT row (1 per group), so
+    the guard and the quantile walk cost nothing per data row."""
+    return [
+        F.when(
+            F.col(f"nnan__{f.name}") > 0,
+            F.kll_sketch_get_quantile_double(F.col(f"kllraw__{f.name}"), F.lit(0.5)),
+        ).alias(f"med__{f.name}")
+        for f in fields
+    ]
 
 
 def _with_exact_vals(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
@@ -255,7 +270,8 @@ def describe(
         # scheduler runs both aggregate stages concurrently.  anynull is
         # derived from na__ below instead of a 17th per-column aggregate.
         decl_aggs, sketch_aggs = _approx_agg_split(fields)
-        row = df.agg(*decl_aggs).crossJoin(df.agg(*sketch_aggs)).collect()[0].asDict()
+        joined = df.agg(*decl_aggs).crossJoin(df.agg(*sketch_aggs))
+        row = joined.select("*", *_approx_median_exprs(fields)).collect()[0].asDict()
         for f in fields:
             row[f"anynull__{f.name}"] = 1 if int(row[f"na__{f.name}"] or 0) > 0 else 0
     elif fast:
@@ -369,7 +385,11 @@ def describe_by(
         cond = F.lit(True)
         for c, k in zip(by_cols, sk_keys):
             cond = cond & decl_g[c].eqNullSafe(sk_g[k])
-        grouped = decl_g.join(sk_g, cond, "inner").drop(*sk_keys)
+        grouped = (
+            decl_g.join(sk_g, cond, "inner")
+            .drop(*sk_keys)
+            .select("*", *_approx_median_exprs(fields))
+        )
     elif fast:
         grouped = df.groupBy(*by_cols).agg(*_stat_aggs(fields, fast, approx))
     else:
