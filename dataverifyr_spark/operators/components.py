@@ -41,7 +41,7 @@ def connected_components(
     anything change?" convergence probe is a trivial max over the already
     materialized round (no separate join+count scan of the inputs).
 
-    Each round ends in ``localCheckpoint(eager=True)``: iterative label
+    Each round ends in a ``localCheckpoint``: iterative label
     updates reference the previous generation TWICE (message join + union),
     so without lineage truncation the logical plan doubles per round —
     ``2^diameter`` leaves, which kills the driver on long chains long before
@@ -96,11 +96,14 @@ def connected_components(
     )
     both = both.cache()
 
-    # fused init ≡ classic round 1: label(u) = min(u, min direct neighbor)
+    # fused init ≡ classic round 1: label(u) = min(u, min direct neighbor).
+    # localCheckpoint(eager=False) truncates the plan at call time but lets
+    # the count() materialize the checkpoint — ONE job where eager + count
+    # was two (r7 "CC per-round constant"; same trick each round below).
     labels = (
         both.groupBy("u")
         .agg(F.least(F.col("u"), F.min("v")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_nodes = labels.count()
     bcast = n_nodes <= broadcast_labels_max
@@ -128,7 +131,10 @@ def connected_components(
                 F.min(F.when(F.col("__own"), F.col("label"))).alias("__prev"),
             )
             .withColumn("__chg", F.col("label") < F.col("__prev"))
-            .localCheckpoint()  # eager: materializes the round, truncates lineage
+            # non-eager: the convergence aggregate below computes every
+            # partition, so it materializes the checkpoint in the SAME job
+            # (plan still truncated here, at call time)
+            .localCheckpoint(eager=False)
         )
         any_changed = fused.agg(F.max("__chg").alias("c")).collect()[0]["c"]
         labels = fused.drop("__prev", "__chg")
