@@ -207,3 +207,44 @@ class TestAdviceGuards:
         led = ValidationLedger(spark, str(tmp_path / "ledger"))
         with pytest.raises(ValueError, match="collides"):
             led.run_incremental(df, dv.ruleset(dv.rule("v > 0")), run_id="r", file_col="v")
+
+
+class TestSessionHeapPretouch:
+    """r7: sized-heap sessions must pin and pre-touch the heap (-Xms = the
+    driver memory, AlwaysPreTouch) so G1 never uncommits between queries —
+    on lazily-backed VM memory a re-faulting heap turned 1 s scans into
+    8-24 s (measured).  Caller-supplied options must still win."""
+
+    def test_pretouch_options_from_driver_memory(self):
+        from dataverifyr_spark.session import _driver_java_options
+
+        assert _driver_java_options("48g") == "-Xms48g -XX:+AlwaysPreTouch"
+
+    def test_caller_options_appended_after_so_they_win(self):
+        from dataverifyr_spark.session import _driver_java_options
+
+        out = _driver_java_options("48g", "-Xms8g -XX:MaxMetaspaceSize=1g")
+        assert out.startswith("-Xms48g -XX:+AlwaysPreTouch")
+        # JVM takes the LAST -Xms, so the caller's 8g overrides
+        assert out.endswith("-Xms8g -XX:MaxMetaspaceSize=1g")
+
+    def test_no_driver_memory_no_injection(self):
+        import inspect
+
+        from dataverifyr_spark.session import build_spark
+
+        # the injection is keyed on spark_driver_memory only; a plain
+        # build_spark() call path must not reference extraJavaOptions
+        src = inspect.getsource(build_spark)
+        assert 'extra_confs.get("spark_driver_memory")' in src
+
+    def test_mem_parse_and_ram_guard(self):
+        from dataverifyr_spark.session import _mem_to_bytes, _pretouch_fits_ram
+
+        assert _mem_to_bytes("48g") == 48 * 1024**3
+        assert _mem_to_bytes("512M") == 512 * 1024**2
+        assert _mem_to_bytes("1024") == 1024
+        assert _mem_to_bytes("1.5g") is None  # unparseable -> no injection
+        assert _pretouch_fits_ram("1g")       # 1g fits any CI box
+        assert not _pretouch_fits_ram("huge") # unparseable -> refuse
+        assert not _pretouch_fits_ram("1073741824t")  # > RAM -> refuse
