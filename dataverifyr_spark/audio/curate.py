@@ -79,7 +79,9 @@ def curate_clips(
     clean = feats.filter(keep)
 
     if stats is not None:
-        clean = clean.localCheckpoint(eager=True)
+        # non-eager: the validated_rows count below is the first action on
+        # `clean` and materializes the checkpoint in the same job
+        clean = clean.localCheckpoint(eager=False)
         stats["input_rows"] = clips.count()
         stats["validated_rows"] = clean.count()
         stats["rules"] = [r.name for r in rules]

@@ -204,7 +204,15 @@ def lsh_candidate_pairs(
     and every run still computes from the raw inputs (within-query
     materialization, not cross-run caching).
     """
-    banded = _banded(sigs, id_col, num_bands).localCheckpoint(eager=True)
+    # When the stats path runs, its _dropped_counts collect is the FIRST
+    # action and computes sizes → banded end to end, so both checkpoints can
+    # be non-eager and materialize inside that one job (plan truncation
+    # still happens here, at call time) — one job where three ran.  Without
+    # the sequencing collect the first consumer is the self-join, whose two
+    # map stages run CONCURRENTLY and would each compute a lazy checkpoint;
+    # those branches stay eager.
+    seq = max_bucket_size is not None and stats is not None
+    banded = _banded(sigs, id_col, num_bands).localCheckpoint(eager=not seq)
     if max_bucket_size is not None:
         # two-shuffle guard: count per bucket (partial-agg), drop hot buckets
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -214,7 +222,7 @@ def lsh_candidate_pairs(
             # it, and — unlike a CacheManager entry — the storage is
             # reclaimed by the ContextCleaner when the caller drops the
             # DataFrame (no per-call cache leak in long-lived sessions)
-            sizes = sizes.localCheckpoint(eager=True)
+            sizes = sizes.localCheckpoint(eager=False)
             stats.update(_dropped_counts(sizes, max_bucket_size))
         banded = (
             banded.join(sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"])
@@ -314,14 +322,18 @@ def lsh_pairs_against(
     HOFs defeat exchange reuse; without this each side's signature pipeline
     re-ran per consumer).
     """
-    a = _banded(new_sigs, id_col, num_bands).localCheckpoint(eager=True)
-    b = _banded(corpus_sigs, id_col, num_bands).localCheckpoint(eager=True)
+    # same sequencing rule as lsh_candidate_pairs: with the stats path each
+    # side's _dropped_counts collect materializes its lazy checkpoints in
+    # one job; without it the cross join fans out concurrently → stay eager
+    seq = max_bucket_size is not None and stats is not None
+    a = _banded(new_sigs, id_col, num_bands).localCheckpoint(eager=not seq)
+    b = _banded(corpus_sigs, id_col, num_bands).localCheckpoint(eager=not seq)
     if max_bucket_size is not None:
 
         def _cap(side: DataFrame, side_name: str) -> DataFrame:
             sizes = side.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
             if stats is not None:
-                sizes = sizes.localCheckpoint(eager=True)  # GC-reclaimed, not cached
+                sizes = sizes.localCheckpoint(eager=False)  # GC-reclaimed, not cached
                 stats[side_name] = _dropped_counts(sizes, max_bucket_size)
             return side.join(
                 sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]

@@ -252,8 +252,10 @@ def embedding_near_dup_pairs(
         sizes = codes.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         if stats is not None:
             # localCheckpoint, not persist: shared by stats + cap join, and
-            # GC-reclaimed when the caller drops the result (no cache leak)
-            sizes = sizes.localCheckpoint(eager=True)
+            # GC-reclaimed when the caller drops the result (no cache leak);
+            # non-eager — the _dropped_counts collect right below is the
+            # first action and materializes it in the same job
+            sizes = sizes.localCheckpoint(eager=False)
             stats.update(_dropped_counts(sizes, max_bucket_size))
         codes = codes.join(
             sizes.filter(F.col("__bsz") <= max_bucket_size), ["band", "bucket"]
